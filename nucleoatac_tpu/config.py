@@ -1,0 +1,122 @@
+"""Stage parameter dataclasses (DESIGN.md defaults).
+
+The reference exposes these as argparse flags on ``nucleoatac
+{occ,nuc,nfr,merge,run}`` (reference: nucleoatac/cli.py :: nucleoatac_parser);
+here each stage has a frozen dataclass consumed by the engines in
+``nucleoatac_tpu.models`` and mirrored by the CLI layer.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class IngestParams:
+    """Fragment filtering at BAM ingest (DESIGN.md §1)."""
+
+    min_mapq: int = 30
+    max_size: int = 2000
+    atac: bool = True  # apply +4/-5 Tn5 insertion offsets
+
+
+@dataclass(frozen=True)
+class SizesParams:
+    """Fragment-size histogram support (DESIGN.md §2)."""
+
+    lower: int = 0
+    upper: int = 251
+
+
+@dataclass(frozen=True)
+class MixtureParams:
+    """NFR/nucleosomal fragment-size mixture fit (DESIGN.md §3)."""
+
+    nfr_fit_lo: int = 20
+    nfr_fit_hi: int = 120
+    ramp_lo: int = 100
+    ramp_hi: int = 115
+    em_iters: int = 25
+    newton_iters: int = 50
+    smooth_sigma: float = 3.0
+
+
+@dataclass(frozen=True)
+class OccParams:
+    """Per-bp occupancy MLE + CI + occ peaks (DESIGN.md §4)."""
+
+    flank: int = 60  # window = 2*flank+1 bp
+    grid_size: int = 101  # alpha in {0, .01, ..., 1}
+    ci_drop: float = 1.92  # chi2(1) 95% / 2
+    min_occ: float = 0.1  # lower-bound threshold for occ peaks
+    occ_sep: int = 120  # min distance between occ peaks
+    mix_floor: float = 1e-10
+
+
+@dataclass(frozen=True)
+class VMatParams:
+    """Template size/position support (DESIGN.md §9)."""
+
+    lower: int = 105
+    upper: int = 251
+    width: int = 147  # odd; dyad at width//2
+    smooth_sd_size: float = 1.0
+    smooth_sd_pos: float = 1.0
+
+
+@dataclass(frozen=True)
+class NucParams:
+    """Dyad-calling stage (DESIGN.md §7)."""
+
+    smooth_sd: float = 10.0
+    nuc_sep: int = 120
+    min_z: float = 3.0
+    min_lr: float = 0.0
+    v_floor: float = 1e-5
+    var_floor: float = 1e-12
+
+
+@dataclass(frozen=True)
+class NFRParams:
+    """NFR calling (DESIGN.md §8)."""
+
+    max_occ_upper: float = 0.25
+    min_nfr_len: int = 10
+    max_nfr_len: int = 1000
+    nuc_half: int = 73  # bp excluded on each side of a called dyad
+
+
+@dataclass(frozen=True)
+class WindowParams:
+    """Fixed-shape window tiling (DESIGN.md §10)."""
+
+    core: int = 1024
+    batch: int = 8  # windows per device batch
+    frag_cap: int = 32768  # padded fragments per batch bucket
+
+    def halo(self, occ: OccParams, vmat: VMatParams) -> int:
+        """Context needed on each side of a window core so every per-core
+        output (sliding occupancy window, template footprint, bias shifts)
+        sees only real data."""
+        return max(occ.flank, vmat.width // 2 + (vmat.upper - 1) // 2 + 1)
+
+    def width(self, occ: OccParams, vmat: VMatParams) -> int:
+        """Padded device width: core + halos, rounded up to a lane multiple.
+        The valid region is [halo, halo+core); columns past core+2*halo are
+        dead right-padding."""
+        w = self.core + 2 * self.halo(occ, vmat)
+        return w + ((-w) % 128)
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Everything for a full `nucleoatac run`."""
+
+    ingest: IngestParams = dataclasses.field(default_factory=IngestParams)
+    sizes: SizesParams = dataclasses.field(default_factory=SizesParams)
+    mixture: MixtureParams = dataclasses.field(default_factory=MixtureParams)
+    occ: OccParams = dataclasses.field(default_factory=OccParams)
+    vmat: VMatParams = dataclasses.field(default_factory=VMatParams)
+    nuc: NucParams = dataclasses.field(default_factory=NucParams)
+    nfr: NFRParams = dataclasses.field(default_factory=NFRParams)
+    window: WindowParams = dataclasses.field(default_factory=WindowParams)

@@ -1,0 +1,92 @@
+"""Template cross-correlation conv stack: signal/background/variance/LR/fuzz.
+
+This is the heart of the tool — the device rebuild of
+reference:nucleoatac/NucleosomeCalling.py (scipy 2-D xcorrs) and
+reference:nucleoatac/multinomial_cov.pyx (the Cython sliding multinomial
+variance) — SURVEY.md §3.2/§4.2. All seven footprint reductions of
+DESIGN.md §7 are 1-D convolutions over position with S size-channels, so
+they are computed as TWO XLA convolutions (one over the fragment matrix,
+one over the bias matrix) whose output channels are the stacked kernels —
+im2col onto the MXU — followed by elementwise VPU math.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class NucScoresOut(NamedTuple):
+    signal: jax.Array  # [B, W]
+    n: jax.Array
+    exp_signal: jax.Array
+    var: jax.Array
+    norm: jax.Array
+    lr: jax.Array
+    fuzz: jax.Array
+
+
+def build_kernels(vmat: np.ndarray, v_floor: float = 1e-5):
+    """Host-side: stack conv kernels from the [S, K] template.
+
+    F-side kernels (5): V, ones, log(max(V, floor)), offs, offs^2.
+    B-side kernels (3): ones, V, V^2.
+    Returned as float32 [out_ch, S, K] arrays.
+    """
+    S, K = vmat.shape
+    ones = np.ones((S, K))
+    logv = np.log(np.maximum(vmat, v_floor))
+    offs = np.broadcast_to((np.arange(K, dtype=np.float64) - K // 2)[None, :], (S, K))
+    fk = np.stack([vmat, ones, logv, offs, offs * offs]).astype(np.float32)
+    bk = np.stack([ones, vmat, vmat * vmat]).astype(np.float32)
+    return jnp.asarray(fk), jnp.asarray(bk)
+
+
+def _conv_stack(x: jax.Array, kern: jax.Array) -> jax.Array:
+    """[B, S, W] (x) [C, S, K] -> [B, C, W-K+1] valid cross-correlation."""
+    return jax.lax.conv_general_dilated(
+        x,
+        kern,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def nuc_scores_batch(
+    frag_mat: jax.Array,  # [B, S, W] float32
+    b0: jax.Array,  # [B, S, W] float32
+    f_kernels: jax.Array,  # [5, S, K]
+    b_kernels: jax.Array,  # [3, S, K]
+    var_floor: float = 1e-12,
+) -> NucScoresOut:
+    K = f_kernels.shape[2]
+    half = K // 2
+    W = frag_mat.shape[2]
+
+    fo = _conv_stack(frag_mat, f_kernels)  # [B, 5, W-K+1]
+    bo = _conv_stack(b0, b_kernels)  # [B, 3, W-K+1]
+
+    pad = ((0, 0), (0, 0), (half, W - half - (W - K + 1)))
+    fo = jnp.pad(fo, pad)
+    bo = jnp.pad(bo, pad)
+
+    signal, n, flogv, foff, foff2 = (fo[:, i] for i in range(5))
+    bsum, vb, v2b = (bo[:, i] for i in range(3))
+
+    safe_b = jnp.where(bsum > 0, bsum, 1.0)
+    mu = vb / safe_b
+    mu2 = v2b / safe_b
+    exp_signal = n * mu
+    var = n * (mu2 - mu * mu)
+    ok = (var > var_floor) & (n > 0)
+    norm = jnp.where(ok, (signal - exp_signal) * jax.lax.rsqrt(jnp.where(ok, var, 1.0)), 0.0)
+    lr = jnp.where(n > 0, flogv - n * jnp.log(jnp.maximum(mu, 1e-30)), 0.0)
+    safe_n = jnp.where(n > 0, n, 1.0)
+    m1 = foff / safe_n
+    m2 = foff2 / safe_n
+    fuzz = jnp.where(n > 0, jnp.sqrt(jnp.maximum(m2 - m1 * m1, 0.0)), 0.0)
+    return NucScoresOut(signal, n, exp_signal, var, norm, lr, fuzz)
