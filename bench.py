@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark: fused occ+nuc window pipeline, TPU vs measured CPU baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md), so the CPU
+baseline is measured here from the float64 mirror implementation of the
+same per-window math (mirror/windows.py) — the vectorized-numpy equivalent
+of reference NucleoATAC's per-window work (Occupancy MLE + V-plot xcorr +
+Cython variance), which is a conservative (fast) stand-in for the
+reference's own Python loops.
+
+Usage: python bench.py [--batch 32] [--iters 20] [--cpu-windows 3]
+                       [--platform axon|cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--frag-cap", type=int, default=2048)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--cpu-windows", type=int, default=3)
+    ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _tiny_engine
+    from nucleoatac_tpu import mirror
+    from nucleoatac_tpu.ops.xcorr import build_kernels  # noqa: F401 (warm import)
+
+    cfg, engine = _tiny_engine(core=1024, batch=args.batch)
+    B, F, W = args.batch, args.frag_cap, engine.width
+
+    rng = np.random.default_rng(1)
+    mids = rng.integers(0, W, size=(B, F)).astype(np.int32)
+    szs = np.concatenate(
+        [
+            rng.normal(147, 20, size=(B, F // 2)),
+            rng.exponential(45, size=(B, F - F // 2)) + 20,
+        ],
+        axis=1,
+    ).astype(np.int32)
+    szs = np.clip(szs, 1, 250)
+    valid = np.ones((B, F), dtype=bool)
+    logb = (0.3 * rng.standard_normal((B, W))).astype(np.float32)
+
+    jm, js, jv, jb = map(jnp.asarray, (mids, szs, valid, logb))
+
+    # --- device timing -------------------------------------------------
+    out = engine.full_step(jm, js, jv, jb)
+    jax.block_until_ready(out)  # compile + warmup
+    out = engine.full_step(jm, js, jv, jb)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = engine.full_step(jm, js, jv, jb)
+    jax.block_until_ready(out)
+    t_dev = (time.perf_counter() - t0) / args.iters
+    dev_wps = B / t_dev
+
+    # --- CPU baseline (float64 mirror, same math per window) -----------
+    M64 = np.asarray(engine.log_mix, np.float64)
+    grid = np.asarray(engine.alpha_grid, np.float64)
+    q = np.asarray(engine.size_probs, np.float64)
+    V = engine.vmat.mat
+    n_cpu = max(1, args.cpu_windows)
+    t0 = time.perf_counter()
+    for b in range(n_cpu):
+        mat = mirror.rasterize(mids[b], szs[b], 0, cfg.sizes.upper, W)
+        mirror.occupancy_window(mat, M64, grid, cfg.occ.flank)
+        b0 = mirror.bias_mat(
+            logb[b].astype(np.float64), q, cfg.vmat.lower, cfg.vmat.upper,
+            engine.core_lo, engine.core_hi,
+        )
+        fmat = mat[cfg.vmat.lower : cfg.vmat.upper]
+        sc = mirror.nuc_scores(fmat, b0, V)
+        mirror.gauss_smooth(sc.norm, cfg.nuc.smooth_sd)
+    t_cpu = (time.perf_counter() - t0) / n_cpu
+    cpu_wps = 1.0 / t_cpu
+
+    print(
+        json.dumps(
+            {
+                "metric": "occ+nuc candidate windows/s per chip (1024bp cores)",
+                "value": round(dev_wps, 2),
+                "unit": "windows/s",
+                "vs_baseline": round(dev_wps / cpu_wps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

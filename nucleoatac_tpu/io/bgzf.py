@@ -47,7 +47,9 @@ class BGZFWriter:
     def _flush_block(self, payload: bytes) -> None:
         co = zlib.compressobj(6, zlib.DEFLATED, -15)
         cdata = co.compress(bytes(payload)) + co.flush()
-        bsize = len(cdata) + 25 + 1  # header(12)+extra(6)+crc(4)+isize(4) - 1
+        # BSIZE field stores (total block size - 1); total =
+        # header(12) + extra(6) + cdata + crc(4) + isize(4)
+        bsize = len(cdata) + 26 - 1
         header = struct.pack(
             "<BBBBIBBHBBHH",
             0x1F, 0x8B, 0x08, 0x04,  # gzip magic, deflate, FEXTRA

@@ -1,0 +1,70 @@
+"""ctypes binding for libnucio.so (see nucio.cpp for the C ABI)."""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from nucleoatac_tpu.config import IngestParams
+
+_lib = ctypes.CDLL(os.path.join(os.path.dirname(__file__), "libnucio.so"))
+
+_lib.nucio_scan_bam.restype = ctypes.c_void_p
+_lib.nucio_scan_bam.argtypes = [
+    ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+]
+_lib.nucio_error.restype = ctypes.c_char_p
+_lib.nucio_error.argtypes = [ctypes.c_void_p]
+_lib.nucio_n_refs.restype = ctypes.c_int
+_lib.nucio_n_refs.argtypes = [ctypes.c_void_p]
+_lib.nucio_ref_name.restype = ctypes.c_char_p
+_lib.nucio_ref_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
+_lib.nucio_ref_len.restype = ctypes.c_long
+_lib.nucio_ref_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+_lib.nucio_n_frags.restype = ctypes.c_long
+_lib.nucio_n_frags.argtypes = [ctypes.c_void_p, ctypes.c_int]
+_lib.nucio_copy_frags.argtypes = [
+    ctypes.c_void_p, ctypes.c_int,
+    ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+]
+_lib.nucio_free.argtypes = [ctypes.c_void_p]
+
+
+def scan_bam_native(
+    path: str, params: IngestParams, n_threads: int | None = None
+) -> Tuple[List[str], List[int], Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
+    handle = _lib.nucio_scan_bam(
+        path.encode(), params.min_mapq, params.max_size,
+        1 if params.atac else 0, n_threads,
+    )
+    try:
+        err = _lib.nucio_error(handle)
+        if err:
+            raise OSError(f"nucio: {err.decode()}: {path}")
+        n = _lib.nucio_n_refs(handle)
+        names, lengths = [], []
+        lefts: Dict[str, np.ndarray] = {}
+        sizes: Dict[str, np.ndarray] = {}
+        for i in range(n):
+            name = _lib.nucio_ref_name(handle, i).decode()
+            names.append(name)
+            lengths.append(int(_lib.nucio_ref_len(handle, i)))
+            m = int(_lib.nucio_n_frags(handle, i))
+            l = np.empty(m, dtype=np.int32)
+            s = np.empty(m, dtype=np.int32)
+            if m:
+                _lib.nucio_copy_frags(
+                    handle, i,
+                    l.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    s.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                )
+            order = np.argsort(l, kind="stable")
+            lefts[name] = l[order]
+            sizes[name] = s[order]
+        return names, lengths, lefts, sizes
+    finally:
+        _lib.nucio_free(handle)

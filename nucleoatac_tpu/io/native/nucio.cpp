@@ -1,0 +1,261 @@
+// nucio: native BAM/BGZF ingest for tpu-nucleoatac.
+//
+// TPU-native replacement for the reference's pysam/htslib substrate
+// (SURVEY.md §3.4 item 2): one streaming pass over a coordinate-sorted
+// paired-end BAM producing per-chromosome (fragment left, size) arrays,
+// with multithreaded BGZF block inflation (the decompress is the ingest
+// bottleneck; BAM records must still be parsed in stream order because
+// they span block boundaries).
+//
+// Filters per DESIGN.md §1: proper pair, primary, mapq, tlen>0, ATAC
+// +4/-5 offsets applied here so downstream sees adjusted fragments.
+//
+// C ABI for ctypes (see binding.py).
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+struct Block {
+  std::vector<uint8_t> comp;  // raw deflate payload
+  uint32_t isize = 0;         // uncompressed size (from BGZF footer)
+};
+
+// Read one BGZF block from fp. Returns false on clean EOF, throws
+// std::string on corruption.
+bool read_block(FILE* fp, Block* out) {
+  uint8_t hdr[12];
+  size_t n = fread(hdr, 1, 12, fp);
+  if (n == 0) return false;
+  if (n < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b)
+    throw std::string("bad BGZF header");
+  uint16_t xlen = hdr[10] | (hdr[11] << 8);
+  std::vector<uint8_t> extra(xlen);
+  if (fread(extra.data(), 1, xlen, fp) != xlen)
+    throw std::string("truncated BGZF extra field");
+  int bsize = -1;
+  for (size_t i = 0; i + 4 <= extra.size();) {
+    uint8_t si1 = extra[i], si2 = extra[i + 1];
+    uint16_t slen = extra[i + 2] | (extra[i + 3] << 8);
+    if (si1 == 'B' && si2 == 'C' && slen == 2)
+      bsize = (extra[i + 4] | (extra[i + 5] << 8)) + 1;
+    i += 4 + slen;
+  }
+  if (bsize < 0) throw std::string("missing BGZF BC subfield");
+  size_t cdata_len = static_cast<size_t>(bsize) - 12 - xlen - 8;
+  out->comp.resize(cdata_len);
+  if (fread(out->comp.data(), 1, cdata_len, fp) != cdata_len)
+    throw std::string("truncated BGZF block");
+  uint8_t tail[8];
+  if (fread(tail, 1, 8, fp) != 8) throw std::string("truncated BGZF footer");
+  out->isize = tail[4] | (tail[5] << 8) | (tail[6] << 16) |
+               (uint32_t(tail[7]) << 24);
+  return true;
+}
+
+void inflate_block(const Block& b, uint8_t* dst) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -15) != Z_OK) throw std::string("inflateInit2 failed");
+  zs.next_in = const_cast<uint8_t*>(b.comp.data());
+  zs.avail_in = static_cast<uInt>(b.comp.size());
+  zs.next_out = dst;
+  zs.avail_out = b.isize;
+  int ret = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  if (ret != Z_STREAM_END && !(ret == Z_OK && b.isize == 0))
+    throw std::string("inflate failed");
+}
+
+struct RefFrags {
+  std::string name;
+  int64_t length = 0;
+  std::vector<int32_t> lefts;
+  std::vector<int32_t> sizes;
+};
+
+constexpr uint16_t kRequired = 0x1 | 0x2;
+constexpr uint16_t kFilterOut = 0x4 | 0x8 | 0x100 | 0x200 | 0x400 | 0x800;
+
+struct Scanner {
+  int min_mapq, max_size, shift, shrink;
+  std::vector<RefFrags> refs;
+  // streaming state
+  std::vector<uint8_t> buf;  // unparsed decompressed bytes
+  bool header_done = false;
+
+  void parse(const uint8_t* data, size_t len, bool final) {
+    buf.insert(buf.end(), data, data + len);
+    size_t off = 0;
+    if (!header_done) {
+      if (!try_parse_header(&off)) return;  // need more bytes
+      header_done = true;
+    }
+    while (true) {
+      if (buf.size() - off < 4) break;
+      uint32_t block_size;
+      std::memcpy(&block_size, buf.data() + off, 4);
+      if (buf.size() - off < 4 + block_size) break;
+      const uint8_t* rec = buf.data() + off + 4;
+      handle_record(rec, block_size);
+      off += 4 + block_size;
+    }
+    buf.erase(buf.begin(), buf.begin() + off);
+    if (final && !buf.empty()) throw std::string("trailing bytes in BAM");
+  }
+
+  bool try_parse_header(size_t* off_out) {
+    // returns true when the full header is available and consumed
+    const uint8_t* p = buf.data();
+    size_t n = buf.size();
+    if (n < 12) return false;
+    if (std::memcmp(p, "BAM\x01", 4) != 0) throw std::string("not a BAM file");
+    uint32_t l_text;
+    std::memcpy(&l_text, p + 4, 4);
+    size_t off = 8 + l_text;
+    if (n < off + 4) return false;
+    uint32_t n_ref;
+    std::memcpy(&n_ref, p + off, 4);
+    off += 4;
+    std::vector<RefFrags> tmp(n_ref);
+    for (uint32_t i = 0; i < n_ref; i++) {
+      if (n < off + 4) return false;
+      uint32_t l_name;
+      std::memcpy(&l_name, p + off, 4);
+      off += 4;
+      if (n < off + l_name + 4) return false;
+      tmp[i].name.assign(reinterpret_cast<const char*>(p + off), l_name - 1);
+      off += l_name;
+      uint32_t l_ref;
+      std::memcpy(&l_ref, p + off, 4);
+      tmp[i].length = l_ref;
+      off += 4;
+    }
+    refs = std::move(tmp);
+    *off_out = off;
+    return true;
+  }
+
+  void handle_record(const uint8_t* r, uint32_t len) {
+    if (len < 32) throw std::string("short BAM record");
+    int32_t ref_id, pos, tlen;
+    std::memcpy(&ref_id, r, 4);
+    std::memcpy(&pos, r + 4, 4);
+    uint8_t mapq = r[9];
+    uint16_t flag;
+    std::memcpy(&flag, r + 14, 2);
+    std::memcpy(&tlen, r + 28, 4);
+    if (ref_id < 0 || static_cast<size_t>(ref_id) >= refs.size()) return;
+    if ((flag & kRequired) != kRequired || (flag & kFilterOut)) return;
+    if (tlen <= 0 || mapq < min_mapq) return;
+    int32_t size = tlen - shrink;
+    if (size < 1 || size > max_size) return;
+    refs[ref_id].lefts.push_back(pos + shift);
+    refs[ref_id].sizes.push_back(size);
+  }
+};
+
+}  // namespace
+
+struct NucioBam {
+  std::vector<RefFrags> refs;
+  std::string error;
+};
+
+extern "C" {
+
+NucioBam* nucio_scan_bam(const char* path, int min_mapq, int max_size,
+                         int atac, int n_threads) {
+  auto* out = new NucioBam();
+  FILE* fp = fopen(path, "rb");
+  if (!fp) {
+    out->error = "cannot open file";
+    return out;
+  }
+  Scanner sc;
+  sc.min_mapq = min_mapq;
+  sc.max_size = max_size;
+  sc.shift = atac ? 4 : 0;
+  sc.shrink = atac ? 9 : 0;
+  if (n_threads < 1) n_threads = 1;
+
+  try {
+    const size_t kChunkBlocks = 256;
+    std::vector<Block> blocks;
+    blocks.reserve(kChunkBlocks);
+    bool eof = false;
+    while (!eof) {
+      blocks.clear();
+      while (blocks.size() < kChunkBlocks) {
+        Block b;
+        if (!read_block(fp, &b)) {
+          eof = true;
+          break;
+        }
+        blocks.push_back(std::move(b));
+      }
+      if (blocks.empty()) break;
+      std::vector<size_t> offsets(blocks.size() + 1, 0);
+      for (size_t i = 0; i < blocks.size(); i++)
+        offsets[i + 1] = offsets[i] + blocks[i].isize;
+      std::vector<uint8_t> plain(offsets.back());
+      std::string thread_err;
+      if (n_threads == 1 || blocks.size() < 4) {
+        for (size_t i = 0; i < blocks.size(); i++)
+          inflate_block(blocks[i], plain.data() + offsets[i]);
+      } else {
+        std::atomic<size_t> next{0};
+        std::vector<std::thread> pool;
+        std::atomic<bool> failed{false};
+        for (int t = 0; t < n_threads; t++) {
+          pool.emplace_back([&] {
+            while (true) {
+              size_t i = next.fetch_add(1);
+              if (i >= blocks.size() || failed.load()) return;
+              try {
+                inflate_block(blocks[i], plain.data() + offsets[i]);
+              } catch (const std::string&) {
+                failed.store(true);
+                return;
+              }
+            }
+          });
+        }
+        for (auto& th : pool) th.join();
+        if (failed.load()) throw std::string("inflate failed");
+      }
+      sc.parse(plain.data(), plain.size(), eof);
+    }
+    out->refs = std::move(sc.refs);
+  } catch (const std::string& e) {
+    out->error = e;
+  }
+  fclose(fp);
+  return out;
+}
+
+const char* nucio_error(NucioBam* b) {
+  return b->error.empty() ? nullptr : b->error.c_str();
+}
+int nucio_n_refs(NucioBam* b) { return static_cast<int>(b->refs.size()); }
+const char* nucio_ref_name(NucioBam* b, int i) { return b->refs[i].name.c_str(); }
+long nucio_ref_len(NucioBam* b, int i) { return b->refs[i].length; }
+long nucio_n_frags(NucioBam* b, int i) {
+  return static_cast<long>(b->refs[i].lefts.size());
+}
+void nucio_copy_frags(NucioBam* b, int i, int32_t* lefts, int32_t* sizes) {
+  const auto& r = b->refs[i];
+  std::memcpy(lefts, r.lefts.data(), r.lefts.size() * 4);
+  std::memcpy(sizes, r.sizes.data(), r.sizes.size() * 4);
+}
+void nucio_free(NucioBam* b) { delete b; }
+
+}  // extern "C"

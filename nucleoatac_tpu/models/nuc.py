@@ -1,0 +1,200 @@
+"""`nucleoatac nuc` stage: V-plot template dyad calling.
+
+Rebuild of reference:nucleoatac/run_nuc.py :: run_nuc +
+NucleosomeCalling.py :: NucChunk.process (SURVEY.md §4.2): per-chunk Tn5
+bias track, batched device xcorr scoring (models/engine.nuc_step), host
+peak calling per chunk (cross-tile separation preserved), genome-ordered
+writers. Output contract: DESIGN.md §7/§11.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from nucleoatac_tpu.config import RunConfig
+from nucleoatac_tpu.core.chunk import Chunk, ChunkList
+from nucleoatac_tpu.core.pwm import PWM
+from nucleoatac_tpu.io.bam import BamFragments
+from nucleoatac_tpu.io.bedgraph import vals_to_intervals
+from nucleoatac_tpu.io.fasta import FastaFile
+from nucleoatac_tpu.io.tabix import TabixWriter
+from nucleoatac_tpu.models.data import ChunkAssembler, make_batches, tile_chunks
+from nucleoatac_tpu.models.engine import DeviceEngine
+from nucleoatac_tpu.utils.numerics import greedy_select_fast, local_max_candidates_fast
+
+
+@dataclass
+class NucCall:
+    chrom: str
+    pos: int
+    z: float
+    occ: float
+    occ_lower: float
+    occ_upper: float
+    lr: float
+    norm_smooth: float
+    signal: float
+    fuzz: float
+
+    def bed_row(self) -> str:
+        return (
+            f"{self.chrom}\t{self.pos}\t{self.pos + 1}\t{self.z:.5g}\t"
+            f"{self.occ:.5g}\t{self.occ_lower:.5g}\t{self.occ_upper:.5g}\t"
+            f"{self.lr:.5g}\t{self.norm_smooth:.5g}\t{self.signal:.5g}\t"
+            f"{self.fuzz:.5g}"
+        )
+
+
+@dataclass
+class NucStageResult:
+    calls: List[NucCall] = field(default_factory=list)
+    redundant: List[NucCall] = field(default_factory=list)
+    nuc_dist: np.ndarray = field(default_factory=lambda: np.zeros(1001, np.int64))
+    tracks: Dict[int, Dict[str, np.ndarray]] = field(default_factory=dict)
+
+
+def chunk_log_bias(
+    fasta: Optional[FastaFile], pwm: PWM, chrom: str, lo: int, hi: int
+) -> np.ndarray:
+    """Per-bp log Tn5 bias over [lo, hi); zeros without a FASTA
+    (uniform-bias mode, DESIGN.md §5)."""
+    n = hi - lo
+    if fasta is None:
+        return np.zeros(n, dtype=np.float64)
+    pad = max(pwm.up, pwm.down)
+    s_lo = lo - pad
+    seq = fasta.fetch(chrom, max(0, s_lo), hi + pad)
+    clip_lo = max(0, s_lo)
+    full = np.zeros(hi + pad - s_lo, dtype=np.float64)
+    b = pwm.bias_track(seq)
+    full[clip_lo - s_lo : clip_lo - s_lo + len(b)] = b
+    out = full[lo - s_lo : lo - s_lo + n]
+    return out
+
+
+class NucStage:
+    def __init__(
+        self,
+        cfg: RunConfig,
+        engine: DeviceEngine,
+        pwm: Optional[PWM] = None,
+        fasta: Optional[FastaFile] = None,
+    ):
+        self.cfg = cfg
+        self.engine = engine
+        self.pwm = pwm or PWM.default()
+        self.fasta = fasta
+
+    def run(
+        self,
+        frags: BamFragments,
+        chunks: ChunkList,
+        occ_lookup: Callable[[int, Chunk, int], Tuple[float, float, float]],
+        out_prefix: Optional[str] = None,
+        keep_tracks: bool = False,
+    ) -> NucStageResult:
+        """occ_lookup(chunk_id, chunk, genomic_pos) -> (occ, lower, upper)."""
+        cfg = self.cfg
+        eng = self.engine
+        res = NucStageResult()
+        writers = {}
+        if out_prefix:
+            writers = {
+                "norm": TabixWriter(f"{out_prefix}.nucleoatac_signal.bedgraph.gz"),
+                "smooth": TabixWriter(
+                    f"{out_prefix}.nucleoatac_signal.smooth.bedgraph.gz"
+                ),
+                "pos": TabixWriter(f"{out_prefix}.nucpos.bed.gz"),
+                "red": TabixWriter(f"{out_prefix}.nucpos.redundant.bed.gz"),
+            }
+
+        tiles = tile_chunks(chunks, cfg.window, cfg.occ, cfg.vmat)
+        names = ["norm", "norm_smooth", "signal", "lr", "fuzz"]
+        asm = ChunkAssembler(chunks, names)
+        asm.expect(tiles)
+        halo = eng.halo
+
+        # per-chunk bias caches (chunk extended by halo on both sides)
+        bias_cache: Dict[int, np.ndarray] = {}
+
+        import jax.numpy as jnp
+
+        for batch in make_batches(frags, tiles, eng.width, cfg.window.batch):
+            logb = np.zeros((len(batch.mids), eng.width), dtype=np.float32)
+            for r, t in enumerate(batch.meta):
+                cid = t.chunk_id
+                chunk = chunks[cid]
+                if cid not in bias_cache:
+                    bias_cache[cid] = chunk_log_bias(
+                        self.fasta, self.pwm, chunk.chrom,
+                        chunk.start - halo, chunk.end + halo,
+                    )
+                cb = bias_cache[cid]
+                cb_start = chunk.start - halo
+                a = t.win_start - cb_start
+                seg = cb[max(0, a) : a + eng.width]
+                dst = max(0, -a)
+                logb[r, dst : dst + len(seg)] = seg
+            out = eng.nuc_step(
+                jnp.asarray(batch.mids),
+                jnp.asarray(batch.sizes),
+                jnp.asarray(batch.valid),
+                jnp.asarray(logb),
+            )
+            arrs = {
+                "norm": np.asarray(out.norm, np.float64),
+                "norm_smooth": np.asarray(out.norm_smooth, np.float64),
+                "signal": np.asarray(out.signal, np.float64),
+                "lr": np.asarray(out.lr, np.float64),
+                "fuzz": np.asarray(out.fuzz, np.float64),
+            }
+            for r, t in enumerate(batch.meta):
+                col = t.core_start - t.win_start
+                vals = {n: arrs[n][r] for n in names}
+                for cid, chunk, tracks in asm.add(t, vals, col):
+                    done_cids = bias_cache.pop(cid, None)
+                    self._finish_chunk(cid, chunk, tracks, occ_lookup, writers, res)
+                    if keep_tracks:
+                        res.tracks[cid] = tracks
+        for w in writers.values():
+            w.close()
+        return res
+
+    def _finish_chunk(self, cid, chunk, tracks, occ_lookup, writers, res) -> None:
+        cfg = self.cfg
+        p = cfg.nuc
+        norm = tracks["norm"]
+        smooth = tracks["norm_smooth"]
+        mask = (norm >= p.min_z) & (tracks["lr"] >= p.min_lr)
+        cand = local_max_candidates_fast(smooth, cfg.nuc.nuc_sep // 2, mask)
+        cand_idx = np.flatnonzero(cand)
+        sel = greedy_select_fast(smooth, cand, p.nuc_sep)
+
+        def mk(i: int) -> NucCall:
+            occ, lo, up = occ_lookup(cid, chunk, chunk.start + i)
+            return NucCall(
+                chunk.chrom, chunk.start + i, float(norm[i]), occ, lo, up,
+                float(tracks["lr"][i]), float(smooth[i]),
+                float(tracks["signal"][i]), float(tracks["fuzz"][i]),
+            )
+
+        calls = [mk(i) for i in sel]
+        red = [mk(i) for i in cand_idx]
+        res.calls.extend(calls)
+        res.redundant.extend(red)
+        # adjacent-dyad spacing histogram (reference nuc_dist diagnostics)
+        for a, b in zip(sel, sel[1:]):
+            d = b - a
+            if d < len(res.nuc_dist):
+                res.nuc_dist[d] += 1
+        if writers:
+            for name, key in (("norm", "norm"), ("smooth", "norm_smooth")):
+                w = writers[name]
+                for a, b, v in vals_to_intervals(chunk.start, tracks[key]):
+                    w.add(chunk.chrom, a, b, f"{chunk.chrom}\t{a}\t{b}\t{v}")
+            for c in calls:
+                writers["pos"].add(c.chrom, c.pos, c.pos + 1, c.bed_row())
+            for c in red:
+                writers["red"].add(c.chrom, c.pos, c.pos + 1, c.bed_row())

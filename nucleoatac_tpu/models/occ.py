@@ -1,0 +1,154 @@
+"""`nucleoatac occ` stage: per-bp occupancy + CI tracks and occ peaks.
+
+Rebuild of reference:nucleoatac/run_occ.py :: run_occ (SURVEY.md §4.1):
+fit the fragment-size mixture genome-wide, then batched device windows
+instead of a multiprocessing pool, with genome-ordered bedgraph/BED
+writers (bgzip+tabix).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from nucleoatac_tpu.config import RunConfig
+from nucleoatac_tpu.core.chunk import Chunk, ChunkList
+from nucleoatac_tpu.core.fragmentsizes import FragmentSizes
+from nucleoatac_tpu.core.mixture import FragmentMixDistribution
+from nucleoatac_tpu.io.bam import BamFragments
+from nucleoatac_tpu.io.bedgraph import vals_to_intervals
+from nucleoatac_tpu.io.tabix import TabixWriter
+from nucleoatac_tpu.models.data import make_batches, tile_chunks
+from nucleoatac_tpu.models.engine import DeviceEngine
+from nucleoatac_tpu.utils.numerics import greedy_select_fast, local_max_candidates_fast
+
+
+@dataclass
+class OccPeak:
+    chrom: str
+    pos: int  # dyad-like center position
+    occ: float
+    lower: float
+    upper: float
+
+
+@dataclass
+class OccStageResult:
+    mix: FragmentMixDistribution
+    fragmentsizes: FragmentSizes
+    # per-chunk dense tracks, keyed by chunk index in the merged ChunkList
+    tracks: Dict[int, Dict[str, np.ndarray]] = field(default_factory=dict)
+    peaks: List[OccPeak] = field(default_factory=list)
+    chunks: Optional[ChunkList] = None
+
+
+def fit_mixture(
+    frags: BamFragments, chunks: ChunkList, cfg: RunConfig
+) -> Tuple[FragmentSizes, FragmentMixDistribution]:
+    """Genome-wide (peak-restricted) fragment-size histogram + mixture fit
+    (reference: FragmentSizes.calculateSizes + FragmentMixDistribution
+    .fitDists)."""
+    fs = FragmentSizes(cfg.sizes.lower, cfg.sizes.upper)
+    for c in chunks:
+        _, sizes = frags.window(c.chrom, c.start, c.end)
+        fs.add_sizes(sizes)
+    mix = FragmentMixDistribution(
+        cfg.sizes.lower, cfg.sizes.upper, cfg.mixture
+    ).fit(fs)
+    return fs, mix
+
+
+def call_occ_peaks(
+    chunk: Chunk, occ: np.ndarray, lower: np.ndarray, cfg: RunConfig
+) -> List[OccPeak]:
+    """DESIGN.md §4: local maxima of occ (±occ_sep//2) where the CI lower
+    bound clears min_occ; greedy by occ with min separation occ_sep."""
+    p = cfg.occ
+    mask = lower >= p.min_occ
+    cand = local_max_candidates_fast(occ, p.occ_sep // 2, mask)
+    sel = greedy_select_fast(occ, cand, p.occ_sep)
+    return [
+        OccPeak(chunk.chrom, chunk.start + i, float(occ[i]), float(lower[i]), float(0))
+        for i in sel
+    ]
+
+
+class OccStage:
+    def __init__(self, cfg: RunConfig, engine: DeviceEngine):
+        self.cfg = cfg
+        self.engine = engine
+
+    def run(
+        self,
+        frags: BamFragments,
+        chunks: ChunkList,
+        mix: FragmentMixDistribution,
+        fragmentsizes: FragmentSizes,
+        out_prefix: Optional[str] = None,
+        keep_tracks: bool = True,
+    ) -> OccStageResult:
+        cfg = self.cfg
+        eng = self.engine
+        result = OccStageResult(mix=mix, fragmentsizes=fragmentsizes, chunks=chunks)
+
+        writers = {}
+        if out_prefix:
+            writers = {
+                "occ": TabixWriter(f"{out_prefix}.occ.bedgraph.gz"),
+                "lower": TabixWriter(f"{out_prefix}.occ.lower_bound.bedgraph.gz"),
+                "upper": TabixWriter(f"{out_prefix}.occ.upper_bound.bedgraph.gz"),
+                "peaks": TabixWriter(f"{out_prefix}.occpeaks.bed.gz"),
+            }
+
+        tiles = tile_chunks(chunks, cfg.window, cfg.occ, cfg.vmat)
+        from nucleoatac_tpu.models.data import ChunkAssembler
+
+        asm = ChunkAssembler(chunks, ["occ", "lower", "upper"])
+        asm.expect(tiles)
+        halo = eng.halo
+        for batch in make_batches(frags, tiles, eng.width, cfg.window.batch):
+            import jax.numpy as jnp
+
+            out = eng.occ_step(
+                jnp.asarray(batch.mids), jnp.asarray(batch.sizes), jnp.asarray(batch.valid)
+            )
+            occ_b = np.asarray(out.occ, np.float64)
+            lo_b = np.asarray(out.lower, np.float64)
+            up_b = np.asarray(out.upper, np.float64)
+            for r, t in enumerate(batch.meta):
+                col = t.core_start - t.win_start
+                vals = {"occ": occ_b[r], "lower": lo_b[r], "upper": up_b[r]}
+                for cid, chunk, tracks in asm.add(t, vals, col):
+                    peaks = self._finish_chunk(chunk, tracks, writers)
+                    result.peaks.extend(peaks)
+                    if keep_tracks:
+                        result.tracks[cid] = tracks
+
+        for w in writers.values():
+            w.close()
+        return result
+
+    def _finish_chunk(self, chunk: Chunk, tracks, writers) -> List[OccPeak]:
+        cfg = self.cfg
+        occ, lo, up = tracks["occ"], tracks["lower"], tracks["upper"]
+        peaks_raw = call_occ_peaks(chunk, occ, lo, cfg)
+        peaks = [
+            OccPeak(p.chrom, p.pos, p.occ,
+                    float(lo[p.pos - chunk.start]), float(up[p.pos - chunk.start]))
+            for p in peaks_raw
+        ]
+        if writers:
+            for name, arr in (("occ", occ), ("lower", lo), ("upper", up)):
+                w = writers[name]
+                for a, b, v in vals_to_intervals(chunk.start, arr):
+                    w.add(chunk.chrom, a, b, f"{chunk.chrom}\t{a}\t{b}\t{v}")
+            flank = cfg.occ.flank
+            for p in peaks:
+                s = max(0, p.pos - flank)
+                e = p.pos + flank + 1
+                writers["peaks"].add(
+                    p.chrom, s, e,
+                    f"{p.chrom}\t{s}\t{e}\t{p.occ:.5g}\t{p.lower:.5g}\t{p.upper:.5g}",
+                )
+        return peaks

@@ -1,0 +1,103 @@
+"""`nucleoatac run`: occ -> nuc -> merge -> nfr with in-memory handoff.
+
+Rebuild of reference:nucleoatac/cli.py run flow (SURVEY.md §4.3). The
+reference hands stages off through files on disk; here stage artifacts
+stay HBM/host-resident within a run while every reference output file is
+still written for compatibility (SURVEY.md §3.3 "stage pipeline" row).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from nucleoatac_tpu.config import RunConfig
+from nucleoatac_tpu.core.chunk import Chunk, ChunkList
+from nucleoatac_tpu.core.pwm import PWM
+from nucleoatac_tpu.core.vmat import VMat
+from nucleoatac_tpu.io.bam import BamFragments, scan_bam
+from nucleoatac_tpu.io.fasta import FastaFile
+from nucleoatac_tpu.models.engine import DeviceEngine
+from nucleoatac_tpu.models.merge import merge_maps
+from nucleoatac_tpu.models.nfr import call_nfrs
+from nucleoatac_tpu.models.nuc import NucStage, NucStageResult
+from nucleoatac_tpu.models.occ import OccStage, OccStageResult, fit_mixture
+from nucleoatac_tpu.utils import plotting
+
+
+@dataclass
+class RunResult:
+    occ: OccStageResult
+    nuc: NucStageResult
+    combined: list
+    nfrs: list
+
+
+def occ_lookup_from_tracks(occ_result: OccStageResult):
+    """occ stat accessor for dyad calls, backed by in-memory chunk tracks."""
+
+    def lookup(cid: int, chunk: Chunk, pos: int) -> Tuple[float, float, float]:
+        tr = occ_result.tracks.get(cid)
+        if tr is None:
+            return 0.0, 0.0, 1.0
+        i = pos - chunk.start
+        if i < 0 or i >= len(tr["occ"]):
+            return 0.0, 0.0, 1.0
+        return float(tr["occ"][i]), float(tr["lower"][i]), float(tr["upper"][i])
+
+    return lookup
+
+
+def run_pipeline(
+    bam: str,
+    bed: str,
+    out_prefix: str,
+    fasta_path: Optional[str] = None,
+    pwm_path: Optional[str] = None,
+    vmat_path: Optional[str] = None,
+    cfg: Optional[RunConfig] = None,
+    write_plots: bool = True,
+) -> RunResult:
+    cfg = cfg or RunConfig()
+    frags = scan_bam(bam, cfg.ingest)
+    fasta = FastaFile(fasta_path) if fasta_path else None
+    pwm = PWM.open(pwm_path) if pwm_path else PWM.default()
+    vmat = VMat.open(vmat_path) if vmat_path else VMat.default(cfg.vmat)
+
+    chrom_dict = frags.chrom_dict
+    chunks = ChunkList.read(bed, chrom_dict).merge()
+
+    # --- occ stage (reference run_occ.py) ------------------------------
+    fs, mix = fit_mixture(frags, chunks, cfg)
+    fs.save(f"{out_prefix}.fragmentsizes.txt")
+    mix.save(f"{out_prefix}.occ_fit.txt")
+    if write_plots:
+        plotting.plot_occ_fit(mix, f"{out_prefix}.occ_fit.eps")
+    engine = DeviceEngine(cfg, mix, fs, vmat)
+    occ_stage = OccStage(cfg, engine)
+    occ_res = occ_stage.run(frags, chunks, mix, fs, out_prefix, keep_tracks=True)
+
+    # --- nuc stage (reference run_nuc.py) ------------------------------
+    nuc_stage = NucStage(cfg, engine, pwm, fasta)
+    nuc_res = nuc_stage.run(
+        frags, chunks, occ_lookup_from_tracks(occ_res), out_prefix
+    )
+    np.savetxt(
+        f"{out_prefix}.nuc_dist.txt", nuc_res.nuc_dist[None], fmt="%d", delimiter="\t"
+    )
+    if write_plots:
+        plotting.plot_nuc_dist(nuc_res.nuc_dist, f"{out_prefix}.nuc_dist.eps")
+
+    # --- merge (reference merge.py) ------------------------------------
+    combined = merge_maps(
+        nuc_res.calls, occ_res.peaks, cfg.occ.occ_sep,
+        f"{out_prefix}.nucmap_combined.bed.gz",
+    )
+
+    # --- nfr (reference run_nfr.py) ------------------------------------
+    nfrs = call_nfrs(
+        cfg, chunks, combined, occ_res.tracks, frags, pwm, fasta,
+        f"{out_prefix}.nfrpos.bed.gz",
+    )
+    return RunResult(occ_res, nuc_res, combined, nfrs)

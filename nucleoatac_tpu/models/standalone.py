@@ -1,0 +1,151 @@
+"""Standalone per-stage drivers with file-on-disk handoff.
+
+The reference's stages are independently re-runnable because every
+boundary artifact is a file (SURVEY.md §4.3/§6 checkpoint row); these
+drivers preserve that contract: `occ` writes tracks, `nuc` re-reads them,
+`merge`/`nfr` consume the BED outputs.
+"""
+from __future__ import annotations
+
+import gzip
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from nucleoatac_tpu.config import RunConfig
+from nucleoatac_tpu.core.chunk import Chunk, ChunkList
+from nucleoatac_tpu.core.fragmentsizes import FragmentSizes
+from nucleoatac_tpu.core.mixture import FragmentMixDistribution
+from nucleoatac_tpu.core.pwm import PWM
+from nucleoatac_tpu.core.vmat import VMat
+from nucleoatac_tpu.io.bam import scan_bam
+from nucleoatac_tpu.io.fasta import FastaFile
+from nucleoatac_tpu.io.tabix import TabixReader
+from nucleoatac_tpu.models.engine import DeviceEngine
+from nucleoatac_tpu.models.merge import CombinedEntry, merge_maps
+from nucleoatac_tpu.models.nfr import call_nfrs
+from nucleoatac_tpu.models.nuc import NucStage
+from nucleoatac_tpu.models.occ import OccPeak, OccStage, fit_mixture
+from nucleoatac_tpu.utils import plotting
+
+
+class OccTrackReader:
+    """Dense per-chunk occupancy tracks reconstructed from a prior occ
+    run's bedgraph outputs."""
+
+    def __init__(self, prefix: str):
+        self.occ = TabixReader(f"{prefix}.occ.bedgraph.gz")
+        self.lower = TabixReader(f"{prefix}.occ.lower_bound.bedgraph.gz")
+        self.upper = TabixReader(f"{prefix}.occ.upper_bound.bedgraph.gz")
+
+    def chunk_tracks(self, chunk: Chunk) -> Dict[str, np.ndarray]:
+        n = len(chunk)
+        out = {
+            "occ": np.zeros(n),
+            "lower": np.zeros(n),
+            "upper": np.ones(n),
+        }
+        for name, rd in (("occ", self.occ), ("lower", self.lower), ("upper", self.upper)):
+            for f in rd.fetch(chunk.chrom, chunk.start, chunk.end):
+                a = max(int(f[1]), chunk.start) - chunk.start
+                b = min(int(f[2]), chunk.end) - chunk.start
+                out[name][a:b] = float(f[3])
+        return out
+
+    def lookup(self, cid: int, chunk: Chunk, pos: int) -> Tuple[float, float, float]:
+        occ = lo = 0.0
+        up = 1.0
+        for name, rd in (("occ", self.occ), ("lower", self.lower), ("upper", self.upper)):
+            for f in rd.fetch(chunk.chrom, pos, pos + 1):
+                v = float(f[3])
+                if name == "occ":
+                    occ = v
+                elif name == "lower":
+                    lo = v
+                else:
+                    up = v
+        return occ, lo, up
+
+
+def _load_inputs(args, cfg: RunConfig):
+    frags = scan_bam(args.bam, cfg.ingest)
+    chunks = ChunkList.read(args.bed, frags.chrom_dict).merge()
+    fasta = FastaFile(args.fasta) if args.fasta else None
+    pwm = PWM.open(args.pwm) if args.pwm else PWM.default()
+    return frags, chunks, fasta, pwm
+
+
+def run_occ(args) -> None:
+    from nucleoatac_tpu.cli.nucleoatac import build_config
+
+    cfg = build_config(args)
+    frags, chunks, _, _ = _load_inputs(args, cfg)
+    fs, mix = fit_mixture(frags, chunks, cfg)
+    fs.save(f"{args.out}.fragmentsizes.txt")
+    mix.save(f"{args.out}.occ_fit.txt")
+    if not args.no_plots:
+        plotting.plot_occ_fit(mix, f"{args.out}.occ_fit.eps")
+    engine = DeviceEngine(cfg, mix, fs)
+    OccStage(cfg, engine).run(frags, chunks, mix, fs, args.out, keep_tracks=False)
+
+
+def run_nuc(args) -> None:
+    from nucleoatac_tpu.cli.nucleoatac import build_config
+
+    cfg = build_config(args)
+    frags, chunks, fasta, pwm = _load_inputs(args, cfg)
+    prefix = args.occ_track_prefix or args.out
+    sizes_path = args.sizes or f"{prefix}.fragmentsizes.txt"
+    fs = FragmentSizes.open(sizes_path)
+    mix = FragmentMixDistribution.open(f"{prefix}.occ_fit.txt")
+    vmat = VMat.open(args.vmat) if args.vmat else VMat.default(cfg.vmat)
+    engine = DeviceEngine(cfg, mix, fs, vmat)
+    occ_reader = OccTrackReader(prefix)
+    res = NucStage(cfg, engine, pwm, fasta).run(
+        frags, chunks, occ_reader.lookup, args.out
+    )
+    np.savetxt(f"{args.out}.nuc_dist.txt", res.nuc_dist[None], fmt="%d", delimiter="\t")
+    if not args.no_plots:
+        plotting.plot_nuc_dist(res.nuc_dist, f"{args.out}.nuc_dist.eps")
+
+
+def _read_bed_gz(path: str):
+    with gzip.open(path, "rt") as fh:
+        for line in fh:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                yield line.split("\t")
+
+
+def run_merge(args) -> None:
+    from nucleoatac_tpu.models.nuc import NucCall
+
+    nuc_calls = [
+        NucCall(f[0], int(f[1]), float(f[3]), float(f[4]), float(f[5]),
+                float(f[6]), float(f[7]), float(f[8]), float(f[9]), float(f[10]))
+        for f in _read_bed_gz(args.nucpos)
+    ]
+    occ_peaks = [
+        OccPeak(f[0], (int(f[1]) + int(f[2])) // 2, float(f[3]), float(f[4]), float(f[5]))
+        for f in _read_bed_gz(args.occpeaks)
+    ]
+    merge_maps(nuc_calls, occ_peaks, args.sep, f"{args.out}.nucmap_combined.bed.gz")
+
+
+def run_nfr(args) -> None:
+    from nucleoatac_tpu.cli.nucleoatac import build_config
+
+    cfg = build_config(args)
+    frags, chunks, fasta, pwm = _load_inputs(args, cfg)
+    prefix = args.occ_track_prefix or args.out
+    calls_path = args.calls or f"{args.out}.nucmap_combined.bed.gz"
+    combined = [
+        CombinedEntry(f[0], int(f[1]), float(f[3]), f[4] if len(f) > 4 else "nuc")
+        for f in _read_bed_gz(calls_path)
+    ]
+    occ_reader = OccTrackReader(prefix)
+    occ_tracks = {cid: occ_reader.chunk_tracks(c) for cid, c in enumerate(chunks)}
+    call_nfrs(
+        cfg, chunks, combined, occ_tracks, frags, pwm, fasta,
+        f"{args.out}.nfrpos.bed.gz",
+    )

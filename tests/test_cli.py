@@ -1,0 +1,100 @@
+"""CLI surface tests: standalone stage drivers + pyatac utilities."""
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from nucleoatac_tpu.cli.nucleoatac import main as nucleoatac_main
+from nucleoatac_tpu.cli.pyatac import main as pyatac_main
+from tests.synth import DYADS, NFR_GAP, make_example
+
+
+@pytest.fixture(scope="module")
+def ex(tmp_path_factory):
+    return make_example(tmp_path_factory.mktemp("cli_example"))
+
+
+def _lines(path):
+    return [l for l in gzip.open(path, "rt").read().splitlines() if l]
+
+
+def test_staged_occ_nuc_merge_nfr(ex, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stages") / "st")
+    base = ["--bed", ex["bed"], "--bam", ex["bam"], "--out", out, "--no_plots"]
+    assert nucleoatac_main(["occ"] + base) == 0
+    assert os.path.exists(out + ".occ.bedgraph.gz.tbi")
+    assert nucleoatac_main(["nuc"] + base + ["--fasta", ex["fasta"]]) == 0
+    calls = [l.split("\t") for l in _lines(out + ".nucpos.bed.gz")]
+    called = sorted(int(c[1]) for c in calls)
+    for d in DYADS:
+        assert min(abs(c - d) for c in called) <= 15, (d, called)
+    # occ stats re-read from files must be populated (file-handoff path)
+    assert any(float(c[4]) > 0.5 for c in calls)
+    assert nucleoatac_main([
+        "merge", "--occpeaks", out + ".occpeaks.bed.gz",
+        "--nucpos", out + ".nucpos.bed.gz", "--out", out,
+    ]) == 0
+    assert nucleoatac_main(["nfr"] + base + ["--fasta", ex["fasta"]]) == 0
+    nfrs = [l.split("\t") for l in _lines(out + ".nfrpos.bed.gz")]
+    assert any(int(f[1]) < NFR_GAP[1] and int(f[2]) > NFR_GAP[0] for f in nfrs)
+
+
+def test_vprocess_roundtrip(ex, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("vp") / "vp")
+    assert pyatac_main([
+        "vplot", "--bam", ex["bam"], "--bed", ex["bed"], "--out", out,
+        "--no_plots",
+    ]) == 0
+    assert nucleoatac_main([
+        "vprocess", "--vplot", out + ".VMat", "--out", out, "--no_plots",
+    ]) == 0
+    from nucleoatac_tpu.core.vmat import VMat
+
+    v = VMat.open(out + ".VMat")
+    assert v.width == 147 and v.lower == 105
+    assert abs(v.mat.sum() - 1.0) < 1e-9
+    # symmetric by construction
+    np.testing.assert_allclose(v.mat, v.mat[:, ::-1], atol=1e-12)
+
+
+def test_pyatac_tracks_and_counts(ex, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("py") / "u")
+    args = ["--bam", ex["bam"], "--bed", ex["bed"], "--out", out, "--no_plots"]
+    assert pyatac_main(["ins"] + args) == 0
+    assert pyatac_main(["cov"] + args) == 0
+    assert pyatac_main(["sizes", "--bam", ex["bam"], "--out", out, "--no_plots"]) == 0
+    assert pyatac_main(["counts"] + args) == 0
+    ins = _lines(out + ".ins.bedgraph.gz")
+    assert ins and all(len(l.split("\t")) == 4 for l in ins)
+    # NFR gap should be insertion-dense
+    gap_ins = sum(
+        float(l.split("\t")[3]) * (int(l.split("\t")[2]) - int(l.split("\t")[1]))
+        for l in ins
+        if NFR_GAP[0] <= int(l.split("\t")[1]) < NFR_GAP[1]
+    )
+    assert gap_ins > 500
+    counts = open(out + ".counts.txt").read().strip().splitlines()
+    assert len(counts) == 1 and int(counts[0].split("\t")[3]) > 1000
+
+
+def test_pyatac_bias_and_pwm(ex, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("bias") / "b")
+    assert pyatac_main([
+        "bias", "--fasta", ex["fasta"], "--bed", ex["bed"], "--out", out,
+    ]) == 0
+    rows = _lines(out + ".Scores.bedgraph.gz")
+    assert rows
+    assert pyatac_main([
+        "pwm", "--bam", ex["bam"], "--fasta", ex["fasta"], "--out", out,
+        "--no_plots",
+    ]) == 0
+    from nucleoatac_tpu.core.pwm import PWM
+
+    pwm = PWM.open(out + ".PWM.txt")
+    assert pwm.length == 19
+    assert pyatac_main([
+        "bias_vplot", "--bam", ex["bam"], "--bed", ex["bed"], "--fasta",
+        ex["fasta"], "--out", out, "--no_plots",
+    ]) == 0
+    assert os.path.exists(out + ".Bias.VMat")

