@@ -39,34 +39,42 @@ def main() -> None:
 
     from __graft_entry__ import _tiny_engine
     from nucleoatac_tpu import mirror
-    from nucleoatac_tpu.ops.xcorr import build_kernels  # noqa: F401 (warm import)
+    from nucleoatac_tpu.models.data import rasterize_host
 
     cfg, engine = _tiny_engine(core=1024, batch=args.batch)
     B, F, W = args.batch, args.frag_cap, engine.width
+    S = cfg.sizes.upper - cfg.sizes.lower
 
     rng = np.random.default_rng(1)
-    mids = rng.integers(0, W, size=(B, F)).astype(np.int32)
+    mids = rng.integers(0, W, size=(B, F)).astype(np.int64)
     szs = np.concatenate(
         [
             rng.normal(147, 20, size=(B, F // 2)),
             rng.exponential(45, size=(B, F - F // 2)) + 20,
         ],
         axis=1,
-    ).astype(np.int32)
+    ).astype(np.int64)
     szs = np.clip(szs, 1, 250)
-    valid = np.ones((B, F), dtype=bool)
     logb = (0.3 * rng.standard_normal((B, W))).astype(np.float32)
 
-    jm, js, jv, jb = map(jnp.asarray, (mids, szs, valid, logb))
+    # --- device timing (includes per-batch host raster + upload, i.e. the
+    # real steady-state loop of the stage drivers) ----------------------
+    def one_iter():
+        m = np.stack(
+            [
+                rasterize_host(mids[b], szs[b], 0, cfg.sizes.upper, W)
+                for b in range(B)
+            ]
+        )
+        return engine.full_step(jnp.asarray(m, jnp.float32), jnp.asarray(logb))
 
-    # --- device timing -------------------------------------------------
-    out = engine.full_step(jm, js, jv, jb)
+    out = one_iter()
     jax.block_until_ready(out)  # compile + warmup
-    out = engine.full_step(jm, js, jv, jb)
+    out = one_iter()
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = engine.full_step(jm, js, jv, jb)
+        out = one_iter()
     jax.block_until_ready(out)
     t_dev = (time.perf_counter() - t0) / args.iters
     dev_wps = B / t_dev

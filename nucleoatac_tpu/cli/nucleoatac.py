@@ -79,6 +79,8 @@ def nucleoatac_parser() -> argparse.ArgumentParser:
     _common(pr)
     _tune(pr)
     pr.add_argument("--vmat", default=None, help="V-plot template (default built-in)")
+    pr.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax profiler trace to DIR")
 
     po = sub.add_parser("occ", help="occupancy stage only")
     _common(po)
@@ -127,6 +129,7 @@ def main(argv=None) -> int:
             args.bam, args.bed, args.out,
             fasta_path=args.fasta, pwm_path=args.pwm, vmat_path=args.vmat,
             cfg=build_config(args), write_plots=not args.no_plots,
+            profile_dir=args.profile,
         )
         return 0
     if args.command == "occ":

@@ -35,6 +35,32 @@ class WindowBatch:
     meta: List[TileMeta]  # length <= B; rows past len(meta) are padding
 
 
+@dataclass
+class DenseBatch:
+    """Host-rasterized window batch (DESIGN.md §10; BASELINE north star
+    "BAM fragment ingest -> pre-binned insertion/midpoint tensors").
+
+    Rasterization is a histogram scatter — TPU-hostile (the device
+    scatter compiled pathologically on the axon backend and is serial on
+    any TPU) — so the [B, S, W] count matrix is built on host at
+    memcpy-like speed and shipped as int16, leaving the device graph pure
+    conv/matmul/elementwise with a single static shape."""
+
+    mats: np.ndarray  # [B, S, W] int16 counts, S = upper-lower (full range)
+    meta: List[TileMeta]
+
+
+def rasterize_host(
+    mids: np.ndarray, sizes: np.ndarray, lower: int, upper: int, width: int
+) -> np.ndarray:
+    """One window: (mid, size) lists -> [S, W] int16 (np.bincount, C speed)."""
+    S = upper - lower
+    keep = (mids >= 0) & (mids < width) & (sizes >= lower) & (sizes < upper)
+    idx = (sizes[keep].astype(np.int64) - lower) * width + mids[keep]
+    flat = np.bincount(idx, minlength=S * width)
+    return flat.reshape(S, width).astype(np.int16)
+
+
 def tile_chunks(
     chunks: ChunkList, cfg: WindowParams, occ: OccParams, vmat: VMatParams
 ) -> List[TileMeta]:
@@ -54,32 +80,75 @@ def _bucket(n: int, minimum: int = 256) -> int:
     return f
 
 
+def max_window_frags(
+    frags: BamFragments, tiles: Sequence[TileMeta], width: int
+) -> int:
+    """Max fragment count over all windows (two binary searches per tile)."""
+    best = 1
+    for t in tiles:
+        m = frags.mids.get(t.chrom)
+        if m is None:
+            continue
+        n = int(
+            np.searchsorted(m, t.win_start + width) - np.searchsorted(m, t.win_start)
+        )
+        best = max(best, n)
+    return best
+
+
 def make_batches(
     frags: BamFragments,
     tiles: Sequence[TileMeta],
     width: int,
     batch: int,
+    frag_cap: int | None = None,
 ) -> Iterator[WindowBatch]:
-    """Yields fixed-[B, F] batches; F = power-of-two bucket of the batch's
-    max fragment count. Windows select fragments by midpoint in
-    [win_start, win_start + width)."""
+    """Yields fixed-[B, F] batches. F is ONE power-of-two bucket for the
+    whole run (from the global max window count) so the device step
+    compiles exactly once — TPU compiles are minutes each on this backend,
+    so per-batch shape buckets are far worse than padded scatter work."""
+    if frag_cap is None:
+        frag_cap = _bucket(max_window_frags(frags, tiles, width))
     for i in range(0, len(tiles), batch):
         group = list(tiles[i : i + batch])
         frag_lists: List[Tuple[np.ndarray, np.ndarray]] = []
         for t in group:
             m, s = frags.window(t.chrom, t.win_start, t.win_start + width)
             frag_lists.append((m - t.win_start, s))
-        fmax = max((len(m) for m, _ in frag_lists), default=1)
-        F = _bucket(max(fmax, 1))
+        F = frag_cap
         B = batch
         mids = np.zeros((B, F), dtype=np.int32)
         sizes = np.zeros((B, F), dtype=np.int32)
         valid = np.zeros((B, F), dtype=bool)
         for r, (m, s) in enumerate(frag_lists):
+            if len(m) > F:
+                raise ValueError(
+                    f"window at {group[r].chrom}:{group[r].win_start} has "
+                    f"{len(m)} fragments > frag_cap {F}; raise frag_cap"
+                )
             mids[r, : len(m)] = m
             sizes[r, : len(s)] = s
             valid[r, : len(m)] = True
         yield WindowBatch(mids, sizes, valid, group)
+
+
+def make_dense_batches(
+    frags: BamFragments,
+    tiles: Sequence[TileMeta],
+    width: int,
+    batch: int,
+    lower: int,
+    upper: int,
+) -> Iterator[DenseBatch]:
+    """Host-rasterized batches: fixed [B, S, W] int16 count tensors."""
+    S = upper - lower
+    for i in range(0, len(tiles), batch):
+        group = list(tiles[i : i + batch])
+        mats = np.zeros((batch, S, width), dtype=np.int16)
+        for r, t in enumerate(group):
+            m, s = frags.window(t.chrom, t.win_start, t.win_start + width)
+            mats[r] = rasterize_host(m - t.win_start, s, lower, upper, width)
+        yield DenseBatch(mats, group)
 
 
 class ChunkAssembler:

@@ -7,10 +7,20 @@ fixed-shape jit-compiled programs over [B, F] fragment tensors
 (DESIGN.md §10). Parameters (log-mixture table, template kernels, size
 distribution) are closed over as device constants — replicated under
 sharding (SURVEY.md §3.3).
+
+Compilation structure (important on the axon backend): the pipeline is
+FIVE small jitted stages chained through device-resident intermediates —
+rasterize, occupancy, bias matrix, conv stack, elementwise finish —
+rather than one fused program. Two reasons, both measured in round 1:
+(1) the monolithic conv+bias+elementwise program miscompiles to all-zero
+outputs on the experimental axon TPU backend while every stage is correct
+in isolation; (2) remote compiles scale badly with program size (85 s for
+the conv stage alone vs >9.5 min for the fused program). Dispatch
+overhead between stages is microseconds against millisecond-scale stage
+runtimes.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, NamedTuple
 
 import jax
@@ -25,11 +35,10 @@ from nucleoatac_tpu.ops import (
     bias_mat_batch,
     gauss_kernel,
     gauss_smooth_batch,
-    nuc_scores_batch,
     occupancy_batch,
     rasterize_batch,
 )
-from nucleoatac_tpu.ops.xcorr import build_kernels
+from nucleoatac_tpu.ops.xcorr import _conv_stack, build_kernels
 
 
 class OccTracks(NamedTuple):
@@ -55,6 +64,7 @@ class DeviceEngine:
         mix: FragmentMixDistribution,
         fragmentsizes: FragmentSizes,
         vmat: VMat | None = None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.width = cfg.window.width(cfg.occ, cfg.vmat)
@@ -79,21 +89,42 @@ class DeviceEngine:
         self.core_lo = self.halo
         self.core_hi = self.width - self.halo
 
-    # ---------------- step impls (pure; jitted wrappers below) ----------
-    def occ_impl(self, mids, sizes, valid) -> OccTracks:
-        mat = rasterize_batch(
+        self.mesh = mesh
+        jit_kwargs: Dict = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if cfg.window.batch % mesh.size != 0:
+                raise ValueError(
+                    f"window batch {cfg.window.batch} not divisible by mesh "
+                    f"size {mesh.size}"
+                )
+            data = NamedSharding(mesh, P("data"))
+            jit_kwargs = {"in_shardings": data, "out_shardings": data}
+        self._raster = jax.jit(self._raster_impl, **jit_kwargs)
+        self._occ_from_mat = jax.jit(self._occ_from_mat_impl, **jit_kwargs)
+        self._bias = jax.jit(self._bias_impl, **jit_kwargs)
+        self._convs = jax.jit(self._convs_impl, **jit_kwargs)
+        self._finish = jax.jit(self._finish_impl, **jit_kwargs)
+
+    # ---------------- stage impls (pure) --------------------------------
+    def _raster_impl(self, mids, sizes, valid):
+        """Optional on-device rasterization from fragment lists; the
+        production path feeds host-rasterized dense mats instead
+        (models/data.py :: DenseBatch — the scatter is TPU-hostile)."""
+        return rasterize_batch(
             mids, sizes, valid, self.cfg.sizes.lower, self.cfg.sizes.upper, self.width
         )
+
+    def _occ_from_mat_impl(self, mat) -> OccTracks:
+        mat = mat.astype(jnp.float32)  # int16 counts uploaded; cast on device
         out = occupancy_batch(
             mat, self.log_mix, self.alpha_grid, self.cfg.occ.flank, self.cfg.occ.ci_drop
         )
         return OccTracks(out.occ, out.lower, out.upper, out.n)
 
-    def nuc_impl(self, mids, sizes, valid, log_bias) -> NucTracks:
-        fmat = rasterize_batch(
-            mids, sizes, valid, self.cfg.vmat.lower, self.cfg.vmat.upper, self.width
-        )
-        b0 = bias_mat_batch(
+    def _bias_impl(self, log_bias):
+        return bias_mat_batch(
             log_bias,
             self.size_probs,
             self.cfg.vmat.lower,
@@ -101,49 +132,66 @@ class DeviceEngine:
             self.core_lo,
             self.core_hi,
         )
-        sc = nuc_scores_batch(
-            fmat, b0, self.f_kernels, self.b_kernels, self.cfg.nuc.var_floor
-        )
-        norm_smooth = gauss_smooth_batch(sc.norm, self.smooth_kernel)
-        return NucTracks(sc.norm, norm_smooth, sc.signal, sc.lr, sc.fuzz, sc.n)
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def occ_step(self, mids, sizes, valid) -> OccTracks:
-        return self.occ_impl(mids, sizes, valid)
-
-    @functools.partial(jax.jit, static_argnums=0)
-    def nuc_step(self, mids, sizes, valid, log_bias) -> NucTracks:
-        return self.nuc_impl(mids, sizes, valid, log_bias)
-
-    def full_impl(self, mids, sizes, valid, log_bias):
-        """Fused occ+nuc window step — the flagship device program
-        (one rasterization feeds both stages via size-range slicing)."""
-        mat = rasterize_batch(
-            mids, sizes, valid, self.cfg.sizes.lower, self.cfg.sizes.upper, self.width
-        )
-        occ = occupancy_batch(
-            mat, self.log_mix, self.alpha_grid, self.cfg.occ.flank, self.cfg.occ.ci_drop
-        )
+    def _convs_impl(self, mat, b0):
+        """Full-size-range mat -> nuc-range conv stacks, dyad-aligned."""
         vlo = self.cfg.vmat.lower - self.cfg.sizes.lower
         vup = self.cfg.vmat.upper - self.cfg.sizes.lower
-        fmat = mat[:, vlo:vup, :]
-        b0 = bias_mat_batch(
-            log_bias,
-            self.size_probs,
-            self.cfg.vmat.lower,
-            self.cfg.vmat.upper,
-            self.core_lo,
-            self.core_hi,
-        )
-        sc = nuc_scores_batch(
-            fmat, b0, self.f_kernels, self.b_kernels, self.cfg.nuc.var_floor
-        )
-        norm_smooth = gauss_smooth_batch(sc.norm, self.smooth_kernel)
-        return (
-            OccTracks(occ.occ, occ.lower, occ.upper, occ.n),
-            NucTracks(sc.norm, norm_smooth, sc.signal, sc.lr, sc.fuzz, sc.n),
-        )
+        fmat = mat[:, vlo:vup, :].astype(jnp.float32)
+        K = self.f_kernels.shape[2]
+        half = K // 2
+        W = fmat.shape[2]
+        pad = ((0, 0), (0, 0), (half, W - half - (W - K + 1)))
+        fo = jnp.pad(_conv_stack(fmat, self.f_kernels), pad)
+        bo = jnp.pad(_conv_stack(b0, self.b_kernels), pad)
+        return fo, bo
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def full_step(self, mids, sizes, valid, log_bias):
-        return self.full_impl(mids, sizes, valid, log_bias)
+    def _finish_impl(self, fo, bo) -> NucTracks:
+        p = self.cfg.nuc
+        signal, n, flogv, foff, foff2 = (fo[:, i] for i in range(5))
+        bsum, vb, v2b = (bo[:, i] for i in range(3))
+        safe_b = jnp.where(bsum > 0, bsum, 1.0)
+        mu = vb / safe_b
+        mu2 = v2b / safe_b
+        exp_signal = n * mu
+        var = n * (mu2 - mu * mu)
+        ok = (var > p.var_floor) & (n > 0)
+        norm = jnp.where(
+            ok, (signal - exp_signal) * jax.lax.rsqrt(jnp.where(ok, var, 1.0)), 0.0
+        )
+        lr = jnp.where(n > 0, flogv - n * jnp.log(jnp.maximum(mu, 1e-30)), 0.0)
+        safe_n = jnp.where(n > 0, n, 1.0)
+        m1 = foff / safe_n
+        m2 = foff2 / safe_n
+        fuzz = jnp.where(n > 0, jnp.sqrt(jnp.maximum(m2 - m1 * m1, 0.0)), 0.0)
+        norm_smooth = gauss_smooth_batch(norm, self.smooth_kernel)
+        return NucTracks(norm, norm_smooth, signal, lr, fuzz, n)
+
+    # ---------------- public steps (chained jits over dense mats) -------
+    # mat: [B, S_full, W] float32 (host-rasterized int16 counts, cast on
+    # upload by the caller via jnp.asarray(..., float32))
+    def occ_step(self, mat) -> OccTracks:
+        return self._occ_from_mat(mat)
+
+    def nuc_step(self, mat, log_bias) -> NucTracks:
+        fo, bo = self._convs(mat, self._bias(log_bias))
+        return self._finish(fo, bo)
+
+    def full_step(self, mat, log_bias):
+        occ = self._occ_from_mat(mat)
+        fo, bo = self._convs(mat, self._bias(log_bias))
+        return occ, self._finish(fo, bo)
+
+    # single-traceable fused form (used by the multichip dryrun and kept
+    # as the reference composition; do NOT jit monolithically on axon)
+    def full_impl(self, mat, log_bias):
+        occ = self._occ_from_mat_impl(mat)
+        fo, bo = self._convs_impl(mat, self._bias_impl(log_bias))
+        return occ, self._finish_impl(fo, bo)
+
+    def occ_impl(self, mat) -> OccTracks:
+        return self._occ_from_mat_impl(mat)
+
+    def nuc_impl(self, mat, log_bias) -> NucTracks:
+        fo, bo = self._convs_impl(mat, self._bias_impl(log_bias))
+        return self._finish_impl(fo, bo)

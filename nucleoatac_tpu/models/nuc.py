@@ -20,7 +20,7 @@ from nucleoatac_tpu.io.bam import BamFragments
 from nucleoatac_tpu.io.bedgraph import vals_to_intervals
 from nucleoatac_tpu.io.fasta import FastaFile
 from nucleoatac_tpu.io.tabix import TabixWriter
-from nucleoatac_tpu.models.data import ChunkAssembler, make_batches, tile_chunks
+from nucleoatac_tpu.models.data import ChunkAssembler, make_dense_batches, tile_chunks
 from nucleoatac_tpu.models.engine import DeviceEngine
 from nucleoatac_tpu.utils.numerics import greedy_select_fast, local_max_candidates_fast
 
@@ -121,8 +121,10 @@ class NucStage:
 
         import jax.numpy as jnp
 
-        for batch in make_batches(frags, tiles, eng.width, cfg.window.batch):
-            logb = np.zeros((len(batch.mids), eng.width), dtype=np.float32)
+        from nucleoatac_tpu.models.occ import _pipelined
+
+        def dispatch(batch):
+            logb = np.zeros((len(batch.mats), eng.width), dtype=np.float32)
             for r, t in enumerate(batch.meta):
                 cid = t.chunk_id
                 chunk = chunks[cid]
@@ -137,12 +139,13 @@ class NucStage:
                 seg = cb[max(0, a) : a + eng.width]
                 dst = max(0, -a)
                 logb[r, dst : dst + len(seg)] = seg
-            out = eng.nuc_step(
-                jnp.asarray(batch.mids),
-                jnp.asarray(batch.sizes),
-                jnp.asarray(batch.valid),
-                jnp.asarray(logb),
-            )
+            return eng.nuc_step(jnp.asarray(batch.mats), jnp.asarray(logb))
+
+        batches = make_dense_batches(
+            frags, tiles, eng.width, cfg.window.batch,
+            cfg.sizes.lower, cfg.sizes.upper,
+        )
+        for batch, out in _pipelined(batches, dispatch):
             arrs = {
                 "norm": np.asarray(out.norm, np.float64),
                 "norm_smooth": np.asarray(out.norm_smooth, np.float64),
@@ -154,7 +157,7 @@ class NucStage:
                 col = t.core_start - t.win_start
                 vals = {n: arrs[n][r] for n in names}
                 for cid, chunk, tracks in asm.add(t, vals, col):
-                    done_cids = bias_cache.pop(cid, None)
+                    bias_cache.pop(cid, None)  # all tiles dispatched; free it
                     self._finish_chunk(cid, chunk, tracks, occ_lookup, writers, res)
                     if keep_tracks:
                         res.tracks[cid] = tracks

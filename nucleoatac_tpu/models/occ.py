@@ -19,7 +19,7 @@ from nucleoatac_tpu.core.mixture import FragmentMixDistribution
 from nucleoatac_tpu.io.bam import BamFragments
 from nucleoatac_tpu.io.bedgraph import vals_to_intervals
 from nucleoatac_tpu.io.tabix import TabixWriter
-from nucleoatac_tpu.models.data import make_batches, tile_chunks
+from nucleoatac_tpu.models.data import make_dense_batches, tile_chunks
 from nucleoatac_tpu.models.engine import DeviceEngine
 from nucleoatac_tpu.utils.numerics import greedy_select_fast, local_max_candidates_fast
 
@@ -74,6 +74,20 @@ def call_occ_peaks(
     ]
 
 
+def _pipelined(batches, dispatch):
+    """Dispatch batch i+1 to the device before materializing batch i's
+    results on host (jax dispatch is async) — the TPU analogue of the
+    reference's worker/writer overlap (SURVEY.md §3.3 row 2)."""
+    prev = None
+    for b in batches:
+        out = dispatch(b)
+        if prev is not None:
+            yield prev
+        prev = (b, out)
+    if prev is not None:
+        yield prev
+
+
 class OccStage:
     def __init__(self, cfg: RunConfig, engine: DeviceEngine):
         self.cfg = cfg
@@ -106,13 +120,17 @@ class OccStage:
 
         asm = ChunkAssembler(chunks, ["occ", "lower", "upper"])
         asm.expect(tiles)
-        halo = eng.halo
-        for batch in make_batches(frags, tiles, eng.width, cfg.window.batch):
-            import jax.numpy as jnp
+        import jax.numpy as jnp
 
-            out = eng.occ_step(
-                jnp.asarray(batch.mids), jnp.asarray(batch.sizes), jnp.asarray(batch.valid)
-            )
+        def dispatch(batch):
+            return eng.occ_step(jnp.asarray(batch.mats))  # int16; cast on device
+
+        # double-buffered: batch i+1 runs on device while host assembles i
+        batches = make_dense_batches(
+            frags, tiles, eng.width, cfg.window.batch,
+            cfg.sizes.lower, cfg.sizes.upper,
+        )
+        for batch, out in _pipelined(batches, dispatch):
             occ_b = np.asarray(out.occ, np.float64)
             lo_b = np.asarray(out.lower, np.float64)
             up_b = np.asarray(out.upper, np.float64)

@@ -58,46 +58,64 @@ def run_pipeline(
     vmat_path: Optional[str] = None,
     cfg: Optional[RunConfig] = None,
     write_plots: bool = True,
+    profile_dir: Optional[str] = None,
 ) -> RunResult:
+    from nucleoatac_tpu.utils.logging import log, maybe_profile, stage_timer
+
     cfg = cfg or RunConfig()
-    frags = scan_bam(bam, cfg.ingest)
-    fasta = FastaFile(fasta_path) if fasta_path else None
-    pwm = PWM.open(pwm_path) if pwm_path else PWM.default()
-    vmat = VMat.open(vmat_path) if vmat_path else VMat.default(cfg.vmat)
+    with maybe_profile(profile_dir):
+        with stage_timer("ingest"):
+            frags = scan_bam(bam, cfg.ingest)
+            log.info("ingest: %d fragments, %d chroms",
+                     frags.n_fragments(), len(frags.ref_names))
+        fasta = FastaFile(fasta_path) if fasta_path else None
+        pwm = PWM.open(pwm_path) if pwm_path else PWM.default()
+        vmat = VMat.open(vmat_path) if vmat_path else VMat.default(cfg.vmat)
 
-    chrom_dict = frags.chrom_dict
-    chunks = ChunkList.read(bed, chrom_dict).merge()
+        chrom_dict = frags.chrom_dict
+        chunks = ChunkList.read(bed, chrom_dict).merge()
+        log.info("peaks: %d chunks, %d bp", len(chunks), chunks.total_bp())
 
-    # --- occ stage (reference run_occ.py) ------------------------------
-    fs, mix = fit_mixture(frags, chunks, cfg)
-    fs.save(f"{out_prefix}.fragmentsizes.txt")
-    mix.save(f"{out_prefix}.occ_fit.txt")
-    if write_plots:
-        plotting.plot_occ_fit(mix, f"{out_prefix}.occ_fit.eps")
-    engine = DeviceEngine(cfg, mix, fs, vmat)
-    occ_stage = OccStage(cfg, engine)
-    occ_res = occ_stage.run(frags, chunks, mix, fs, out_prefix, keep_tracks=True)
+        # --- occ stage (reference run_occ.py) --------------------------
+        with stage_timer("occ"):
+            fs, mix = fit_mixture(frags, chunks, cfg)
+            fs.save(f"{out_prefix}.fragmentsizes.txt")
+            mix.save(f"{out_prefix}.occ_fit.txt")
+            if write_plots:
+                plotting.plot_occ_fit(mix, f"{out_prefix}.occ_fit.eps")
+            engine = DeviceEngine(cfg, mix, fs, vmat)
+            occ_stage = OccStage(cfg, engine)
+            occ_res = occ_stage.run(
+                frags, chunks, mix, fs, out_prefix, keep_tracks=True
+            )
+            log.info("occ: %d occ peaks", len(occ_res.peaks))
 
-    # --- nuc stage (reference run_nuc.py) ------------------------------
-    nuc_stage = NucStage(cfg, engine, pwm, fasta)
-    nuc_res = nuc_stage.run(
-        frags, chunks, occ_lookup_from_tracks(occ_res), out_prefix
-    )
-    np.savetxt(
-        f"{out_prefix}.nuc_dist.txt", nuc_res.nuc_dist[None], fmt="%d", delimiter="\t"
-    )
-    if write_plots:
-        plotting.plot_nuc_dist(nuc_res.nuc_dist, f"{out_prefix}.nuc_dist.eps")
+        # --- nuc stage (reference run_nuc.py) --------------------------
+        with stage_timer("nuc"):
+            nuc_stage = NucStage(cfg, engine, pwm, fasta)
+            nuc_res = nuc_stage.run(
+                frags, chunks, occ_lookup_from_tracks(occ_res), out_prefix
+            )
+            log.info("nuc: %d dyads (%d redundant)",
+                     len(nuc_res.calls), len(nuc_res.redundant))
+        np.savetxt(
+            f"{out_prefix}.nuc_dist.txt", nuc_res.nuc_dist[None], fmt="%d",
+            delimiter="\t",
+        )
+        if write_plots:
+            plotting.plot_nuc_dist(nuc_res.nuc_dist, f"{out_prefix}.nuc_dist.eps")
 
-    # --- merge (reference merge.py) ------------------------------------
-    combined = merge_maps(
-        nuc_res.calls, occ_res.peaks, cfg.occ.occ_sep,
-        f"{out_prefix}.nucmap_combined.bed.gz",
-    )
+        # --- merge (reference merge.py) --------------------------------
+        combined = merge_maps(
+            nuc_res.calls, occ_res.peaks, cfg.occ.occ_sep,
+            f"{out_prefix}.nucmap_combined.bed.gz",
+        )
 
-    # --- nfr (reference run_nfr.py) ------------------------------------
-    nfrs = call_nfrs(
-        cfg, chunks, combined, occ_res.tracks, frags, pwm, fasta,
-        f"{out_prefix}.nfrpos.bed.gz",
-    )
+        # --- nfr (reference run_nfr.py) --------------------------------
+        with stage_timer("nfr"):
+            nfrs = call_nfrs(
+                cfg, chunks, combined, occ_res.tracks, frags, pwm, fasta,
+                f"{out_prefix}.nfrpos.bed.gz",
+            )
+            log.info("nfr: %d NFRs; combined map: %d", len(nfrs), len(combined))
     return RunResult(occ_res, nuc_res, combined, nfrs)

@@ -73,6 +73,13 @@ def nuc_scores_batch(
     pad = ((0, 0), (0, 0), (half, W - half - (W - K + 1)))
     fo = jnp.pad(fo, pad)
     bo = jnp.pad(bo, pad)
+    # Keep the conv stage and the elementwise normalization in separate
+    # fusions: on the experimental axon TPU backend the fully fused
+    # conv+bias+elementwise program miscompiles to all-zero outputs
+    # (each stage verified correct in isolation — see tests and the
+    # round-1 debugging probes); the barrier sidesteps that and costs
+    # one HBM round-trip of the [B, 8, W] conv outputs.
+    fo, bo = jax.lax.optimization_barrier((fo, bo))
 
     signal, n, flogv, foff, foff2 = (fo[:, i] for i in range(5))
     bsum, vb, v2b = (bo[:, i] for i in range(3))

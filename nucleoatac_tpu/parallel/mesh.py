@@ -59,6 +59,6 @@ def sharded_full_step(engine, mesh: Mesh):
     data = NamedSharding(mesh, P("data"))
     return jax.jit(
         engine.full_impl,
-        in_shardings=(data, data, data, data),
+        in_shardings=(data, data),  # (mats [B,S,W], log_bias [B,W])
         out_shardings=data,  # pytree prefix: every output sharded on windows
     )
