@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--cpu-windows", type=int, default=3)
     ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="print raster/upload/device timing to stderr")
     args = ap.parse_args()
 
     import jax
@@ -57,16 +59,18 @@ def main() -> None:
     szs = np.clip(szs, 1, 250)
     logb = (0.3 * rng.standard_normal((B, W))).astype(np.float32)
 
-    # --- device timing (includes per-batch host raster + upload, i.e. the
-    # real steady-state loop of the stage drivers) ----------------------
-    def one_iter():
-        m = np.stack(
+    # --- device timing (includes per-batch host raster + int16 upload,
+    # i.e. the real steady-state loop of the stage drivers) -------------
+    def raster():
+        return np.stack(
             [
                 rasterize_host(mids[b], szs[b], 0, cfg.sizes.upper, W)
                 for b in range(B)
             ]
         )
-        return engine.full_step(jnp.asarray(m, jnp.float32), jnp.asarray(logb))
+
+    def one_iter():
+        return engine.full_step(jnp.asarray(raster()), jnp.asarray(logb))
 
     out = one_iter()
     jax.block_until_ready(out)  # compile + warmup
@@ -78,6 +82,33 @@ def main() -> None:
     jax.block_until_ready(out)
     t_dev = (time.perf_counter() - t0) / args.iters
     dev_wps = B / t_dev
+
+    if args.breakdown:
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            m = raster()
+        t_raster = (time.perf_counter() - t0) / args.iters
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            dm = jnp.asarray(m)
+            dm.block_until_ready()
+        t_upload = (time.perf_counter() - t0) / args.iters
+        dm = jnp.asarray(m)
+        db = jnp.asarray(logb)
+        out = engine.full_step(dm, db)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = engine.full_step(dm, db)
+        jax.block_until_ready(out)
+        t_step = (time.perf_counter() - t0) / args.iters
+        import sys
+
+        print(
+            f"# breakdown per batch of {B}: raster {t_raster*1e3:.1f}ms, "
+            f"upload {t_upload*1e3:.1f}ms, device step {t_step*1e3:.1f}ms",
+            file=sys.stderr,
+        )
 
     # --- CPU baseline (float64 mirror, same math per window) -----------
     M64 = np.asarray(engine.log_mix, np.float64)

@@ -65,6 +65,7 @@ class DeviceEngine:
         fragmentsizes: FragmentSizes,
         vmat: VMat | None = None,
         mesh=None,
+        use_pallas: bool = False,
     ):
         self.cfg = cfg
         self.width = cfg.window.width(cfg.occ, cfg.vmat)
@@ -106,6 +107,10 @@ class DeviceEngine:
         self._bias = jax.jit(self._bias_impl, **jit_kwargs)
         self._convs = jax.jit(self._convs_impl, **jit_kwargs)
         self._finish = jax.jit(self._finish_impl, **jit_kwargs)
+        self.use_pallas = use_pallas
+        if use_pallas:
+            self._pallas_scores = jax.jit(self._pallas_scores_impl, **jit_kwargs)
+            self._smooth = jax.jit(self._smooth_impl, **jit_kwargs)
 
     # ---------------- stage impls (pure) --------------------------------
     def _raster_impl(self, mids, sizes, valid):
@@ -167,6 +172,26 @@ class DeviceEngine:
         norm_smooth = gauss_smooth_batch(norm, self.smooth_kernel)
         return NucTracks(norm, norm_smooth, signal, lr, fuzz, n)
 
+    def _tile_w(self) -> int:
+        for t in (512, 256, 128):
+            if self.width % t == 0:
+                return t
+        raise ValueError(f"width {self.width} not a multiple of 128")
+
+    def _pallas_scores_impl(self, mat, b0):
+        from nucleoatac_tpu.ops.pallas_kernels import nuc_scores_pallas
+
+        vlo = self.cfg.vmat.lower - self.cfg.sizes.lower
+        vup = self.cfg.vmat.upper - self.cfg.sizes.lower
+        fmat = mat[:, vlo:vup, :].astype(jnp.float32)
+        return nuc_scores_pallas(
+            fmat, b0, self.f_kernels, self.b_kernels,
+            self.cfg.nuc.var_floor, tile_w=self._tile_w(),
+        )
+
+    def _smooth_impl(self, x):
+        return gauss_smooth_batch(x, self.smooth_kernel)
+
     # ---------------- public steps (chained jits over dense mats) -------
     # mat: [B, S_full, W] float32 (host-rasterized int16 counts, cast on
     # upload by the caller via jnp.asarray(..., float32))
@@ -174,11 +199,21 @@ class DeviceEngine:
         return self._occ_from_mat(mat)
 
     def nuc_step(self, mat, log_bias) -> NucTracks:
+        if self.use_pallas:
+            sc = self._pallas_scores(mat, self._bias(log_bias))
+            return NucTracks(
+                sc.norm, self._smooth(sc.norm), sc.signal, sc.lr, sc.fuzz, sc.n
+            )
         fo, bo = self._convs(mat, self._bias(log_bias))
         return self._finish(fo, bo)
 
     def full_step(self, mat, log_bias):
         occ = self._occ_from_mat(mat)
+        if self.use_pallas:
+            sc = self._pallas_scores(mat, self._bias(log_bias))
+            return occ, NucTracks(
+                sc.norm, self._smooth(sc.norm), sc.signal, sc.lr, sc.fuzz, sc.n
+            )
         fo, bo = self._convs(mat, self._bias(log_bias))
         return occ, self._finish(fo, bo)
 
