@@ -31,12 +31,16 @@ def main() -> None:
     ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     ap.add_argument("--breakdown", action="store_true",
                     help="print raster/upload/device timing to stderr")
+    ap.add_argument("--transfer", default="frags", choices=["frags", "dense"])
     args = ap.parse_args()
 
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from nucleoatac_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from __graft_entry__ import _tiny_engine
@@ -59,8 +63,9 @@ def main() -> None:
     szs = np.clip(szs, 1, 250)
     logb = (0.3 * rng.standard_normal((B, W))).astype(np.float32)
 
-    # --- device timing (includes per-batch host raster + int16 upload,
-    # i.e. the real steady-state loop of the stage drivers) -------------
+    # --- device timing: the real steady-state loop of the stage drivers
+    # ("frags": upload fragment lists, rasterize on device; "dense":
+    # host-rasterize + int16 upload) -------------------------------------
     def raster():
         return np.stack(
             [
@@ -69,8 +74,22 @@ def main() -> None:
             ]
         )
 
-    def one_iter():
-        return engine.full_step(jnp.asarray(raster()), jnp.asarray(logb))
+    valid = np.ones((B, F), dtype=bool)
+    mids32 = mids.astype(np.int32)
+    szs32 = szs.astype(np.int32)
+
+    if args.transfer == "frags":
+
+        def one_iter():
+            return engine.full_step_frags(
+                jnp.asarray(mids32), jnp.asarray(szs32), jnp.asarray(valid),
+                jnp.asarray(logb),
+            )
+
+    else:
+
+        def one_iter():
+            return engine.full_step(jnp.asarray(raster()), jnp.asarray(logb))
 
     out = one_iter()
     jax.block_until_ready(out)  # compile + warmup
@@ -84,29 +103,41 @@ def main() -> None:
     dev_wps = B / t_dev
 
     if args.breakdown:
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            m = raster()
-        t_raster = (time.perf_counter() - t0) / args.iters
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            dm = jnp.asarray(m)
-            dm.block_until_ready()
-        t_upload = (time.perf_counter() - t0) / args.iters
-        dm = jnp.asarray(m)
-        db = jnp.asarray(logb)
-        out = engine.full_step(dm, db)
+        if args.transfer == "frags":
+            t_raster = 0.0
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                dev_in = tuple(
+                    map(jnp.asarray, (mids32, szs32, valid, logb))
+                )
+                jax.block_until_ready(dev_in)
+            t_upload = (time.perf_counter() - t0) / args.iters
+            step = lambda: engine.full_step_frags(*dev_in)  # noqa: E731
+        else:
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                m = raster()
+            t_raster = (time.perf_counter() - t0) / args.iters
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                dm = jnp.asarray(m)
+                dm.block_until_ready()
+            t_upload = (time.perf_counter() - t0) / args.iters
+            dev_in = (jnp.asarray(m), jnp.asarray(logb))
+            step = lambda: engine.full_step(*dev_in)  # noqa: E731
+        out = step()
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            out = engine.full_step(dm, db)
+            out = step()
         jax.block_until_ready(out)
         t_step = (time.perf_counter() - t0) / args.iters
         import sys
 
         print(
-            f"# breakdown per batch of {B}: raster {t_raster*1e3:.1f}ms, "
-            f"upload {t_upload*1e3:.1f}ms, device step {t_step*1e3:.1f}ms",
+            f"# breakdown per batch of {B} ({args.transfer}): host raster "
+            f"{t_raster*1e3:.1f}ms, upload {t_upload*1e3:.1f}ms, device "
+            f"step {t_step*1e3:.1f}ms",
             file=sys.stderr,
         )
 

@@ -81,6 +81,13 @@ def nucleoatac_parser() -> argparse.ArgumentParser:
     pr.add_argument("--vmat", default=None, help="V-plot template (default built-in)")
     pr.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax profiler trace to DIR")
+    pr.add_argument("--num_hosts", type=int, default=None,
+                    help="multi-host run: total hosts (or via jax.distributed env)")
+    pr.add_argument("--host_id", type=int, default=None,
+                    help="multi-host run: this host's index")
+    pr.add_argument("--finalize", action="store_true",
+                    help="merge per-host shards + run merge/nfr (host 0, "
+                    "after all hosts finish; automatic under jax.distributed)")
 
     po = sub.add_parser("occ", help="occupancy stage only")
     _common(po)
@@ -121,8 +128,29 @@ def nucleoatac_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from nucleoatac_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = nucleoatac_parser().parse_args(argv)
     if args.command == "run":
+        if args.finalize:
+            from nucleoatac_tpu.models.distributed_pipeline import finalize_shards
+
+            finalize_shards(
+                args.out, args.num_hosts or 1, args.bam, args.bed,
+                args.fasta, args.pwm, build_config(args),
+            )
+            return 0
+        if args.num_hosts or args.host_id is not None:
+            from nucleoatac_tpu.models.distributed_pipeline import run_distributed
+
+            run_distributed(
+                args.bam, args.bed, args.out,
+                fasta_path=args.fasta, pwm_path=args.pwm, vmat_path=args.vmat,
+                cfg=build_config(args), host_id=args.host_id,
+                num_hosts=args.num_hosts,
+            )
+            return 0
         from nucleoatac_tpu.models.pipeline import run_pipeline
 
         run_pipeline(

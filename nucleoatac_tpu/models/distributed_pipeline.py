@@ -1,0 +1,165 @@
+"""Multi-host `nucleoatac run`: contiguous chunk shards per host + merge.
+
+TPU-native replacement for the reference's single-host pool (SURVEY.md
+§3.3): each host process takes a contiguous (genome-ordered) slice of the
+peak chunks, runs occ+nuc over its local devices writing
+`<out>.part<k>.*` shards, and host 0 concatenates the shards (re-indexing
+tabix) and runs the cheap merge/nfr host stages on the combined outputs.
+Works under jax.distributed (JAX_COORDINATOR_ADDRESS et al.) or any
+external launcher passing --num_hosts/--host_id explicitly.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from nucleoatac_tpu.config import RunConfig
+from nucleoatac_tpu.core.chunk import ChunkList
+from nucleoatac_tpu.core.pwm import PWM
+from nucleoatac_tpu.core.vmat import VMat
+from nucleoatac_tpu.io.bam import scan_bam
+from nucleoatac_tpu.io.fasta import FastaFile
+from nucleoatac_tpu.models.engine import DeviceEngine
+from nucleoatac_tpu.models.nuc import NucStage
+from nucleoatac_tpu.models.occ import OccStage, fit_mixture
+from nucleoatac_tpu.models.pipeline import occ_lookup_from_tracks
+from nucleoatac_tpu.parallel.distributed import (
+    host_tile_slice,
+    init_distributed,
+    merge_host_shards,
+)
+from nucleoatac_tpu.utils.logging import log
+
+_SHARD_SUFFIXES = [
+    ".occ.bedgraph.gz",
+    ".occ.lower_bound.bedgraph.gz",
+    ".occ.upper_bound.bedgraph.gz",
+    ".occpeaks.bed.gz",
+    ".nucleoatac_signal.bedgraph.gz",
+    ".nucleoatac_signal.smooth.bedgraph.gz",
+    ".nucpos.bed.gz",
+    ".nucpos.redundant.bed.gz",
+]
+
+
+def run_distributed(
+    bam: str,
+    bed: str,
+    out_prefix: str,
+    fasta_path: Optional[str] = None,
+    pwm_path: Optional[str] = None,
+    vmat_path: Optional[str] = None,
+    cfg: Optional[RunConfig] = None,
+    host_id: Optional[int] = None,
+    num_hosts: Optional[int] = None,
+) -> None:
+    cfg = cfg or RunConfig()
+    pid, nhosts = init_distributed()
+    if host_id is not None:
+        pid = host_id
+    if num_hosts is not None:
+        nhosts = num_hosts
+
+    frags = scan_bam(bam, cfg.ingest)
+    fasta = FastaFile(fasta_path) if fasta_path else None
+    pwm = PWM.open(pwm_path) if pwm_path else PWM.default()
+    vmat = VMat.open(vmat_path) if vmat_path else VMat.default(cfg.vmat)
+    all_chunks = ChunkList.read(bed, frags.chrom_dict).merge()
+
+    # genome-wide fit is deterministic and shared: every host computes it
+    # from the same full chunk list (replicated "parameters")
+    fs, mix = fit_mixture(frags, all_chunks, cfg)
+    if pid == 0:
+        fs.save(f"{out_prefix}.fragmentsizes.txt")
+        mix.save(f"{out_prefix}.occ_fit.txt")
+
+    local_chunks = ChunkList(host_tile_slice(all_chunks.chunks, pid, nhosts))
+    log.info("host %d/%d: %d of %d chunks", pid, nhosts, len(local_chunks),
+             len(all_chunks))
+    shard_prefix = f"{out_prefix}.part{pid}"
+    engine = DeviceEngine(cfg, mix, fs, vmat)
+    occ_res = OccStage(cfg, engine).run(
+        frags, local_chunks, mix, fs, shard_prefix, keep_tracks=True
+    )
+    nuc_res = NucStage(cfg, engine, pwm, fasta).run(
+        frags, local_chunks, occ_lookup_from_tracks(occ_res), shard_prefix
+    )
+    np.savetxt(
+        f"{shard_prefix}.nuc_dist.txt", nuc_res.nuc_dist[None], fmt="%d",
+        delimiter="\t",
+    )
+
+    # Finalize here only when we can know every host is done: single host,
+    # or a real jax.distributed barrier. External launchers (e.g. slurm)
+    # run all hosts, then call finalize_shards once (CLI `--finalize`).
+    import jax
+
+    if nhosts <= 1:
+        finalize_shards(out_prefix, nhosts, bam, bed, fasta_path, pwm_path, cfg)
+    elif jax.process_count() > 1:
+        _sync(nhosts)
+        if pid == 0:
+            finalize_shards(
+                out_prefix, nhosts, bam, bed, fasta_path, pwm_path, cfg
+            )
+
+
+def _sync(nhosts: int) -> None:
+    if nhosts <= 1:
+        return
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("nucleoatac_shards")
+    # external launchers without jax.distributed coordinate via their own
+    # barrier (e.g. the caller waits for all hosts before finalize)
+
+
+def finalize_shards(
+    out_prefix: str,
+    nhosts: int,
+    bam: str,
+    bed: str,
+    fasta_path: Optional[str],
+    pwm_path: Optional[str],
+    cfg: RunConfig,
+) -> None:
+    """Concatenate per-host shards (rebuilding tabix), sum nuc_dist, then
+    run the host-side merge + nfr stages on the combined outputs."""
+    import argparse
+    import os
+
+    for suffix in _SHARD_SUFFIXES:
+        merge_host_shards(out_prefix, suffix, nhosts)
+    dist = None
+    for k in range(nhosts):
+        p = f"{out_prefix}.part{k}.nuc_dist.txt"
+        d = np.loadtxt(p, ndmin=2)
+        dist = d if dist is None else dist + d
+        os.remove(p)
+    np.savetxt(f"{out_prefix}.nuc_dist.txt", dist, fmt="%d", delimiter="\t")
+
+    from nucleoatac_tpu.models.standalone import run_merge, run_nfr
+
+    margs = argparse.Namespace(
+        occpeaks=f"{out_prefix}.occpeaks.bed.gz",
+        nucpos=f"{out_prefix}.nucpos.bed.gz",
+        out=out_prefix,
+        sep=cfg.occ.occ_sep,
+    )
+    run_merge(margs)
+    nargs = argparse.Namespace(
+        bam=bam, bed=bed, out=out_prefix, fasta=fasta_path, pwm=pwm_path,
+        occ_track_prefix=out_prefix, calls=None,
+        # tuning flags consumed by build_config via getattr defaults
+        lower=cfg.sizes.lower, upper=cfg.sizes.upper, flank=cfg.occ.flank,
+        min_occ=cfg.occ.min_occ, occ_sep=cfg.occ.occ_sep,
+        nuc_sep=cfg.nuc.nuc_sep, min_z=cfg.nuc.min_z, min_lr=cfg.nuc.min_lr,
+        smooth_sd=cfg.nuc.smooth_sd, max_occ_upper=cfg.nfr.max_occ_upper,
+        min_nfr_len=cfg.nfr.min_nfr_len, max_nfr_len=cfg.nfr.max_nfr_len,
+        not_atac=not cfg.ingest.atac,
+    )
+    run_nfr(nargs)

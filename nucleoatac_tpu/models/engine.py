@@ -192,9 +192,19 @@ class DeviceEngine:
     def _smooth_impl(self, x):
         return gauss_smooth_batch(x, self.smooth_kernel)
 
-    # ---------------- public steps (chained jits over dense mats) -------
-    # mat: [B, S_full, W] float32 (host-rasterized int16 counts, cast on
-    # upload by the caller via jnp.asarray(..., float32))
+    # ---------------- public steps (chained jits) -----------------------
+    # Fragment-list entry points (production transfer format):
+    def occ_step_frags(self, mids, sizes, valid) -> OccTracks:
+        return self._occ_from_mat(self._raster(mids, sizes, valid))
+
+    def nuc_step_frags(self, mids, sizes, valid, log_bias) -> NucTracks:
+        return self.nuc_step(self._raster(mids, sizes, valid), log_bias)
+
+    def full_step_frags(self, mids, sizes, valid, log_bias):
+        return self.full_step(self._raster(mids, sizes, valid), log_bias)
+
+    # Dense-matrix entry points (host-rasterized int16 fallback):
+    # mat: [B, S_full, W] counts, cast to f32 on device
     def occ_step(self, mat) -> OccTracks:
         return self._occ_from_mat(mat)
 
@@ -217,8 +227,11 @@ class DeviceEngine:
         fo, bo = self._convs(mat, self._bias(log_bias))
         return occ, self._finish(fo, bo)
 
-    # single-traceable fused form (used by the multichip dryrun and kept
+    # single-traceable fused forms (used by the multichip dryrun and kept
     # as the reference composition; do NOT jit monolithically on axon)
+    def full_impl_frags(self, mids, sizes, valid, log_bias):
+        return self.full_impl(self._raster_impl(mids, sizes, valid), log_bias)
+
     def full_impl(self, mat, log_bias):
         occ = self._occ_from_mat_impl(mat)
         fo, bo = self._convs_impl(mat, self._bias_impl(log_bias))

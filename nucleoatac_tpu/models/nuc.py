@@ -20,7 +20,12 @@ from nucleoatac_tpu.io.bam import BamFragments
 from nucleoatac_tpu.io.bedgraph import vals_to_intervals
 from nucleoatac_tpu.io.fasta import FastaFile
 from nucleoatac_tpu.io.tabix import TabixWriter
-from nucleoatac_tpu.models.data import ChunkAssembler, make_dense_batches, tile_chunks
+from nucleoatac_tpu.models.data import (
+    ChunkAssembler,
+    make_batches,
+    make_dense_batches,
+    tile_chunks,
+)
 from nucleoatac_tpu.models.engine import DeviceEngine
 from nucleoatac_tpu.utils.numerics import greedy_select_fast, local_max_candidates_fast
 
@@ -123,8 +128,9 @@ class NucStage:
 
         from nucleoatac_tpu.models.occ import _pipelined
 
-        def dispatch(batch):
-            logb = np.zeros((len(batch.mats), eng.width), dtype=np.float32)
+        def batch_log_bias(batch):
+            n_rows = cfg.window.batch
+            logb = np.zeros((n_rows, eng.width), dtype=np.float32)
             for r, t in enumerate(batch.meta):
                 cid = t.chunk_id
                 chunk = chunks[cid]
@@ -139,12 +145,30 @@ class NucStage:
                 seg = cb[max(0, a) : a + eng.width]
                 dst = max(0, -a)
                 logb[r, dst : dst + len(seg)] = seg
-            return eng.nuc_step(jnp.asarray(batch.mats), jnp.asarray(logb))
+            return logb
 
-        batches = make_dense_batches(
-            frags, tiles, eng.width, cfg.window.batch,
-            cfg.sizes.lower, cfg.sizes.upper,
-        )
+        if cfg.window.transfer == "frags":
+
+            def dispatch(batch):
+                return eng.nuc_step_frags(
+                    jnp.asarray(batch.mids),
+                    jnp.asarray(batch.sizes),
+                    jnp.asarray(batch.valid),
+                    jnp.asarray(batch_log_bias(batch)),
+                )
+
+            batches = make_batches(frags, tiles, eng.width, cfg.window.batch)
+        else:
+
+            def dispatch(batch):
+                return eng.nuc_step(
+                    jnp.asarray(batch.mats), jnp.asarray(batch_log_bias(batch))
+                )
+
+            batches = make_dense_batches(
+                frags, tiles, eng.width, cfg.window.batch,
+                cfg.sizes.lower, cfg.sizes.upper,
+            )
         for batch, out in _pipelined(batches, dispatch):
             arrs = {
                 "norm": np.asarray(out.norm, np.float64),

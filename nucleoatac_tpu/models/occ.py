@@ -19,7 +19,7 @@ from nucleoatac_tpu.core.mixture import FragmentMixDistribution
 from nucleoatac_tpu.io.bam import BamFragments
 from nucleoatac_tpu.io.bedgraph import vals_to_intervals
 from nucleoatac_tpu.io.tabix import TabixWriter
-from nucleoatac_tpu.models.data import make_dense_batches, tile_chunks
+from nucleoatac_tpu.models.data import make_batches, make_dense_batches, tile_chunks
 from nucleoatac_tpu.models.engine import DeviceEngine
 from nucleoatac_tpu.utils.numerics import greedy_select_fast, local_max_candidates_fast
 
@@ -122,14 +122,26 @@ class OccStage:
         asm.expect(tiles)
         import jax.numpy as jnp
 
-        def dispatch(batch):
-            return eng.occ_step(jnp.asarray(batch.mats))  # int16; cast on device
+        if cfg.window.transfer == "frags":
 
+            def dispatch(batch):
+                return eng.occ_step_frags(
+                    jnp.asarray(batch.mids),
+                    jnp.asarray(batch.sizes),
+                    jnp.asarray(batch.valid),
+                )
+
+            batches = make_batches(frags, tiles, eng.width, cfg.window.batch)
+        else:
+
+            def dispatch(batch):
+                return eng.occ_step(jnp.asarray(batch.mats))  # int16
+
+            batches = make_dense_batches(
+                frags, tiles, eng.width, cfg.window.batch,
+                cfg.sizes.lower, cfg.sizes.upper,
+            )
         # double-buffered: batch i+1 runs on device while host assembles i
-        batches = make_dense_batches(
-            frags, tiles, eng.width, cfg.window.batch,
-            cfg.sizes.lower, cfg.sizes.upper,
-        )
         for batch, out in _pipelined(batches, dispatch):
             occ_b = np.asarray(out.occ, np.float64)
             lo_b = np.asarray(out.lower, np.float64)

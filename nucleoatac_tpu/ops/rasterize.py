@@ -3,8 +3,15 @@
 Device analogue of reference:pyatac/chunkmat2d.py :: FragmentMat2D
 .makeFragmentMat (SURVEY.md §3.1), which scatter-increments (size,
 midpoint) cells while iterating pysam reads. Here fragments arrive as
-padded fixed-shape (midpoint, size) int32 tensors (DESIGN.md §10) and a
-single batched scatter-add builds all window matrices at once.
+padded fixed-shape (midpoint, size) int32 tensors (DESIGN.md §10) and ONE
+flattened scatter-add over [B*S*W] builds all window matrices at once.
+
+Implementation note (axon TPU backend): the flattened single scatter
+compiles in seconds and runs sub-ms; a per-row vmap'd scatter compiled
+pathologically (>9.5 min). Fragment lists are also ~200x smaller than the
+dense count matrices on the host->device link, so this is the production
+transfer format (models/data.py::make_batches); host rasterization
+(make_dense_batches) remains as a fallback.
 """
 from __future__ import annotations
 
@@ -36,12 +43,9 @@ def rasterize_batch(
     )
     s_rel = jnp.clip(sizes - lower, 0, S - 1)
     m = jnp.clip(mids, 0, width - 1)
-    flat_idx = s_rel * width + m  # [B, F] in [0, S*W)
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (B, F), 0)
+    flat_idx = (b_idx * S + s_rel) * width + m  # [B, F] in [0, B*S*W)
     upd = keep.astype(jnp.float32)
-
-    def one(idx_row: jax.Array, upd_row: jax.Array) -> jax.Array:
-        z = jnp.zeros((S * width,), jnp.float32)
-        return z.at[idx_row].add(upd_row)
-
-    out = jax.vmap(one)(flat_idx, upd)
-    return out.reshape(B, S, width)
+    z = jnp.zeros((B * S * width,), jnp.float32)
+    z = z.at[flat_idx.reshape(-1)].add(upd.reshape(-1))
+    return z.reshape(B, S, width)

@@ -58,7 +58,7 @@ def sharded_full_step(engine, mesh: Mesh):
     (the reference's writer-process queues — SURVEY.md §3.3 row 2)."""
     data = NamedSharding(mesh, P("data"))
     return jax.jit(
-        engine.full_impl,
-        in_shardings=(data, data),  # (mats [B,S,W], log_bias [B,W])
+        engine.full_impl_frags,  # (mids, sizes, valid [B,F]; log_bias [B,W])
+        in_shardings=(data, data, data, data),
         out_shardings=data,  # pytree prefix: every output sharded on windows
     )

@@ -1,0 +1,54 @@
+"""Multi-host file-shard pipeline: 2 simulated hosts == single-host run."""
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from nucleoatac_tpu.models.distributed_pipeline import run_distributed
+from nucleoatac_tpu.models.pipeline import run_pipeline
+from tests.synth import make_example
+
+
+@pytest.fixture(scope="module")
+def ex(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dist")
+    e = make_example(d)
+    # second peak chunk so the 2-host split is non-trivial
+    with open(e["bed"], "a") as fh:
+        fh.write("chr1\t3600\t5600\tpeak2\n")
+    return e
+
+
+def _read(path):
+    return gzip.open(path, "rt").read()
+
+
+def test_two_host_shards_equal_single_run(ex, tmp_path_factory):
+    d = tmp_path_factory.mktemp("out")
+    single = str(d / "single")
+    run_pipeline(ex["bam"], ex["bed"], single, fasta_path=ex["fasta"],
+                 write_plots=False)
+
+    multi = str(d / "multi")
+    # two hosts executed sequentially in-process (the file-shard contract
+    # is launcher-agnostic; jax.distributed not needed for correctness)
+    run_distributed(ex["bam"], ex["bed"], multi, fasta_path=ex["fasta"],
+                    host_id=0, num_hosts=2)
+    run_distributed(ex["bam"], ex["bed"], multi, fasta_path=ex["fasta"],
+                    host_id=1, num_hosts=2)
+    from nucleoatac_tpu.config import RunConfig
+    from nucleoatac_tpu.models.distributed_pipeline import finalize_shards
+
+    finalize_shards(multi, 2, ex["bam"], ex["bed"], ex["fasta"], None,
+                    RunConfig())
+
+    for suffix in (
+        ".occ.bedgraph.gz", ".occpeaks.bed.gz", ".nucpos.bed.gz",
+        ".nucmap_combined.bed.gz", ".nfrpos.bed.gz",
+    ):
+        assert _read(single + suffix) == _read(multi + suffix), suffix
+        assert os.path.exists(multi + suffix + ".tbi")
+    s = np.loadtxt(single + ".nuc_dist.txt", ndmin=2)
+    m = np.loadtxt(multi + ".nuc_dist.txt", ndmin=2)
+    np.testing.assert_array_equal(s, m)

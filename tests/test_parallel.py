@@ -27,19 +27,17 @@ def test_sharded_matches_single_device(rng):
     from nucleoatac_tpu.parallel import make_mesh, sharded_full_step, sharded_size_histogram
 
     cfg, engine = _tiny_engine(batch=8)
-    mats, logb = _example_args(cfg, engine, batch=8)
+    mids, sizes, valid, logb = _example_args(cfg, engine, batch=8)
     mesh = make_mesh(8)
-    occ_s, nuc_s = sharded_full_step(engine, mesh)(mats, logb)
-    occ_1, nuc_1 = engine.full_step(
-        jnp.asarray(mats, jnp.float32), jnp.asarray(logb)
+    occ_s, nuc_s = sharded_full_step(engine, mesh)(mids, sizes, valid, logb)
+    occ_1, nuc_1 = engine.full_step_frags(
+        jnp.asarray(mids), jnp.asarray(sizes), jnp.asarray(valid), jnp.asarray(logb)
     )
     np.testing.assert_allclose(np.asarray(occ_s.occ), np.asarray(occ_1.occ), atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(nuc_s.norm), np.asarray(nuc_1.norm), rtol=1e-4, atol=1e-4
     )
     # psum histogram == plain bincount
-    sizes = rng.integers(20, 250, size=(8, 512)).astype(np.int32)
-    valid = np.ones((8, 512), dtype=bool)
     hist = np.asarray(sharded_size_histogram(mesh, 0, 251)(sizes, valid))
     ref = np.bincount(sizes[(sizes >= 0) & (sizes < 251)], minlength=251)[:251]
     np.testing.assert_allclose(hist, ref)

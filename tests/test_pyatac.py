@@ -1,0 +1,71 @@
+"""pyatac utility functions vs brute force."""
+import numpy as np
+import pytest
+
+from nucleoatac_tpu import pyatac as P
+from nucleoatac_tpu.core.chunk import Chunk, ChunkList
+from nucleoatac_tpu.io.bam import BamFragments
+
+
+@pytest.fixture
+def frags(rng):
+    n = 2000
+    mids = np.sort(rng.integers(100, 9900, n)).astype(np.int32)
+    sizes = rng.integers(10, 300, n).astype(np.int32)
+    return BamFragments(["chr1"], [10000], {"chr1": mids}, {"chr1": sizes})
+
+
+def _ends(frags):
+    m = frags.mids["chr1"].astype(np.int64)
+    s = frags.sizes["chr1"].astype(np.int64)
+    return np.concatenate([m - (s - 1) // 2, m + s // 2])
+
+
+def test_insertion_track_matches_bruteforce(frags):
+    c = Chunk("chr1", 500, 2500)
+    track = P.insertion_track(frags, c)
+    ends = _ends(frags)
+    ref = np.bincount(
+        ends[(ends >= 500) & (ends < 2500)] - 500, minlength=2000
+    )
+    np.testing.assert_array_equal(track, ref)
+    assert track.sum() == ((ends >= 500) & (ends < 2500)).sum()
+
+
+def test_coverage_track_unsmoothed(frags):
+    c = Chunk("chr1", 1000, 1500)
+    cov = P.coverage_track(frags, c, window=1)
+    m = frags.mids["chr1"].astype(np.int64)
+    s = frags.sizes["chr1"].astype(np.int64)
+    left, right = m - (s - 1) // 2, m + s // 2
+    for p in (1000, 1234, 1499):
+        ref = int(((left <= p) & (right >= p)).sum())
+        assert cov[p - 1000] == ref, p
+
+
+def test_region_counts(frags):
+    cl = ChunkList([Chunk("chr1", 0, 5000), Chunk("chr1", 5000, 10000)])
+    counts = P.region_counts(frags, cl)
+    assert counts.sum() == 2000
+    m = frags.mids["chr1"]
+    assert counts[0] == (m < 5000).sum()
+
+
+def test_aggregate_vplot_strand_flip(frags):
+    fwd = ChunkList([Chunk("chr1", 4000, 4200, strand="+")])
+    rev = ChunkList([Chunk("chr1", 4000, 4200, strand="-")])
+    a = P.aggregate_vplot(frags, fwd, 10, 300, flank=80)
+    b = P.aggregate_vplot(frags, rev, 10, 300, flank=80)
+    np.testing.assert_array_equal(a, b[:, ::-1])
+    # total counts == fragments with midpoint within flank and size in range
+    m = frags.mids["chr1"]
+    s = frags.sizes["chr1"]
+    center = 4100
+    keep = (np.abs(m - center) <= 80) & (s >= 10) & (s < 300)
+    assert a.sum() == keep.sum()
+
+
+def test_insertions_in_counts_both_ends(frags):
+    n = frags.insertions_in("chr1", 0, 10000)
+    ends = _ends(frags)
+    assert n == ((ends >= 0) & (ends < 10000)).sum()
