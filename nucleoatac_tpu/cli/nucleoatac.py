@@ -85,6 +85,9 @@ def nucleoatac_parser() -> argparse.ArgumentParser:
                     help="multi-host run: total hosts (or via jax.distributed env)")
     pr.add_argument("--host_id", type=int, default=None,
                     help="multi-host run: this host's index")
+    pr.add_argument("--resume", action="store_true",
+                    help="reuse existing occ outputs (stage files are "
+                    "checkpoints, as in the reference)")
     pr.add_argument("--finalize", action="store_true",
                     help="merge per-host shards + run merge/nfr (host 0, "
                     "after all hosts finish; automatic under jax.distributed)")
@@ -157,7 +160,7 @@ def main(argv=None) -> int:
             args.bam, args.bed, args.out,
             fasta_path=args.fasta, pwm_path=args.pwm, vmat_path=args.vmat,
             cfg=build_config(args), write_plots=not args.no_plots,
-            profile_dir=args.profile,
+            profile_dir=args.profile, resume=args.resume,
         )
         return 0
     if args.command == "occ":

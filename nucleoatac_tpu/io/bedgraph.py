@@ -24,13 +24,19 @@ def vals_to_intervals(
     start: int, vals: np.ndarray, decimals: int = 5
 ) -> Iterator[Tuple[int, int, str]]:
     """Yield (ivl_start, ivl_end, formatted_value) run-length intervals for
-    a dense per-bp vector beginning at genomic position ``start``."""
-    if len(vals) == 0:
+    a dense per-bp vector beginning at genomic position ``start``.
+
+    Runs are detected on values rounded to ``decimals`` (numpy, C speed —
+    a python-level per-bp loop dominated genome-scale runs); each run is
+    then formatted once. Rounding equality == printed-string equality for
+    %.5f-trimmed output (negative zero normalized)."""
+    n = len(vals)
+    if n == 0:
         return
-    strs = [format_value(float(v), decimals) for v in vals]
-    run_start = 0
-    for i in range(1, len(strs)):
-        if strs[i] != strs[run_start]:
-            yield (start + run_start, start + i, strs[run_start])
-            run_start = i
-    yield (start + run_start, start + len(strs), strs[run_start])
+    r = np.round(np.asarray(vals, dtype=np.float64), decimals)
+    r[r == 0.0] = 0.0  # normalize -0.0
+    boundaries = np.flatnonzero(r[1:] != r[:-1]) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [n]])
+    for a, b in zip(starts, ends):
+        yield (start + int(a), start + int(b), format_value(float(r[a]), decimals))

@@ -22,6 +22,7 @@ from nucleoatac_tpu.models.engine import DeviceEngine
 from nucleoatac_tpu.models.merge import merge_maps
 from nucleoatac_tpu.models.nfr import call_nfrs
 from nucleoatac_tpu.models.nuc import NucStage, NucStageResult
+from nucleoatac_tpu.core.fragmentsizes import FragmentSizes  # noqa: F401
 from nucleoatac_tpu.models.occ import OccStage, OccStageResult, fit_mixture
 from nucleoatac_tpu.utils import plotting
 
@@ -32,6 +33,47 @@ class RunResult:
     nuc: NucStageResult
     combined: list
     nfrs: list
+
+
+def _occ_outputs_exist(prefix: str) -> bool:
+    import os
+
+    return all(
+        os.path.exists(prefix + s)
+        for s in (
+            ".occ.bedgraph.gz", ".occ.lower_bound.bedgraph.gz",
+            ".occ.upper_bound.bedgraph.gz", ".occpeaks.bed.gz",
+            ".fragmentsizes.txt", ".occ_fit.txt",
+        )
+    )
+
+
+def _load_occ_stage(prefix: str, cfg: RunConfig, chunks: ChunkList):
+    """--resume: reconstruct the occ stage result from its file artifacts
+    (the reference's stage files double as checkpoints — SURVEY.md §6)."""
+    import gzip
+
+    from nucleoatac_tpu.core.fragmentsizes import FragmentSizes
+    from nucleoatac_tpu.core.mixture import FragmentMixDistribution
+    from nucleoatac_tpu.models.occ import OccPeak
+    from nucleoatac_tpu.models.standalone import OccTrackReader
+
+    fs = FragmentSizes.open(f"{prefix}.fragmentsizes.txt")
+    mix = FragmentMixDistribution.open(f"{prefix}.occ_fit.txt")
+    reader = OccTrackReader(prefix)
+    res = OccStageResult(mix=mix, fragmentsizes=fs, chunks=chunks)
+    for cid, chunk in enumerate(chunks):
+        res.tracks[cid] = reader.chunk_tracks(chunk)
+    flank = cfg.occ.flank
+    with gzip.open(f"{prefix}.occpeaks.bed.gz", "rt") as fh:
+        for line in fh:
+            f = line.split("\t")
+            if len(f) >= 6:
+                res.peaks.append(
+                    OccPeak(f[0], int(f[1]) + flank, float(f[3]), float(f[4]),
+                            float(f[5]))
+                )
+    return fs, mix, res
 
 
 def occ_lookup_from_tracks(occ_result: OccStageResult):
@@ -59,6 +101,7 @@ def run_pipeline(
     cfg: Optional[RunConfig] = None,
     write_plots: bool = True,
     profile_dir: Optional[str] = None,
+    resume: bool = False,
 ) -> RunResult:
     from nucleoatac_tpu.utils.logging import log, maybe_profile, stage_timer
 
@@ -77,18 +120,23 @@ def run_pipeline(
         log.info("peaks: %d chunks, %d bp", len(chunks), chunks.total_bp())
 
         # --- occ stage (reference run_occ.py) --------------------------
-        with stage_timer("occ"):
-            fs, mix = fit_mixture(frags, chunks, cfg)
-            fs.save(f"{out_prefix}.fragmentsizes.txt")
-            mix.save(f"{out_prefix}.occ_fit.txt")
-            if write_plots:
-                plotting.plot_occ_fit(mix, f"{out_prefix}.occ_fit.eps")
-            engine = DeviceEngine(cfg, mix, fs, vmat)
-            occ_stage = OccStage(cfg, engine)
-            occ_res = occ_stage.run(
-                frags, chunks, mix, fs, out_prefix, keep_tracks=True
-            )
-            log.info("occ: %d occ peaks", len(occ_res.peaks))
+        if resume and _occ_outputs_exist(out_prefix):
+            with stage_timer("occ (resumed from files)"):
+                fs, mix, occ_res = _load_occ_stage(out_prefix, cfg, chunks)
+                engine = DeviceEngine(cfg, mix, fs, vmat)
+        else:
+            with stage_timer("occ"):
+                fs, mix = fit_mixture(frags, chunks, cfg)
+                fs.save(f"{out_prefix}.fragmentsizes.txt")
+                mix.save(f"{out_prefix}.occ_fit.txt")
+                if write_plots:
+                    plotting.plot_occ_fit(mix, f"{out_prefix}.occ_fit.eps")
+                engine = DeviceEngine(cfg, mix, fs, vmat)
+                occ_stage = OccStage(cfg, engine)
+                occ_res = occ_stage.run(
+                    frags, chunks, mix, fs, out_prefix, keep_tracks=True
+                )
+                log.info("occ: %d occ peaks", len(occ_res.peaks))
 
         # --- nuc stage (reference run_nuc.py) --------------------------
         with stage_timer("nuc"):

@@ -46,19 +46,39 @@ def _kernel(fmat_ref, b0_ref, fk_ref, bk_ref, mask_ref, out_ref, *, K, tile_w,
     out_ref: [1, 5, tile_w] -> rows (norm, signal, lr, fuzz, n)
     """
     j = pl.program_id(1)
-    start = j * tile_w
+    start = pl.multiple_of(j * tile_w, 128)
+    S = fmat_ref.shape[1]
+    slab_w = tile_w + ((K - 1 + 127) // 128) * 128  # lane-aligned slab
 
-    def conv_accumulate(x_ref, kern_ref, C):
-        def body(k, acc):
-            xk = x_ref[0, :, pl.ds(start + k, tile_w)]  # [S, tile_w]
-            kk = kern_ref[:, :, k]  # [C, S]
-            return acc + jnp.dot(kk, xk, preferred_element_type=jnp.float32)
+    # One aligned VMEM load per input; the K-deep conv walks the slab by
+    # rolling it one lane per iteration (loop-carried, constant VMEM —
+    # an unrolled version kept all K slices live and OOM'd scoped vmem;
+    # dynamic unaligned lane slices are rejected by Mosaic).
+    xf = fmat_ref[0, :, pl.ds(start, slab_w)]  # [S, slab_w]
+    xb = b0_ref[0, :, pl.ds(start, slab_w)]
+    fk = fk_ref[:, :, :]  # [5, S, K]
+    bk = bk_ref[:, :, :]  # [3, S, K]
 
-        init = jnp.zeros((C, tile_w), jnp.float32)
-        return jax.lax.fori_loop(0, K, body, init)
+    def body(k, carry):
+        acc_f, acc_b, cf, cb = carry
+        acc_f = acc_f + jnp.dot(
+            fk[:, :, k], cf[:, :tile_w], preferred_element_type=jnp.float32
+        )
+        acc_b = acc_b + jnp.dot(
+            bk[:, :, k], cb[:, :tile_w], preferred_element_type=jnp.float32
+        )
+        # left-rotate by one lane (pltpu.roll requires non-negative shift:
+        # rolling right by slab_w - 1 == rolling left by 1)
+        shift = cf.shape[1] - 1
+        return (acc_f, acc_b, pltpu.roll(cf, shift, 1), pltpu.roll(cb, shift, 1))
 
-    fo = conv_accumulate(fmat_ref, fk_ref, 5)  # V, ones, logV, offs, offs^2
-    bo = conv_accumulate(b0_ref, bk_ref, 3)  # ones, V, V^2
+    init = (
+        jnp.zeros((5, tile_w), jnp.float32),
+        jnp.zeros((3, tile_w), jnp.float32),
+        xf,
+        xb,
+    )
+    fo, bo, _, _ = jax.lax.fori_loop(0, K, body, init)
 
     signal, n, flogv, foff, foff2 = fo[0], fo[1], fo[2], fo[3], fo[4]
     bsum, vb, v2b = bo[0], bo[1], bo[2]
@@ -97,9 +117,10 @@ def nuc_scores_pallas(
     if W % tile_w != 0:
         raise ValueError(f"W={W} not a multiple of tile_w={tile_w}")
 
-    # halo so slab [start, start + tile_w + K - 1) is in-bounds; pad the
-    # right edge up to a lane multiple for clean VMEM tiling
-    right = half + ((-(W + K - 1)) % 128)
+    # halo so the lane-aligned slab [start, start + tile_w + ceil128(K-1))
+    # is in-bounds for every tile
+    slab_extra = ((K - 1 + 127) // 128) * 128
+    right = slab_extra - half
     fe = jnp.pad(frag_mat, ((0, 0), (0, 0), (half, right)))
     be = jnp.pad(b0, ((0, 0), (0, 0), (half, right)))
     Wp = W + half + right
