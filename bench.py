@@ -31,7 +31,13 @@ def main() -> None:
     ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     ap.add_argument("--breakdown", action="store_true",
                     help="print raster/upload/device timing to stderr")
-    ap.add_argument("--transfer", default="frags", choices=["frags", "dense"])
+    ap.add_argument(
+        "--transfer", default="packed", choices=["packed", "frags", "dense"]
+    )
+    ap.add_argument(
+        "--repeats", type=int, default=3,
+        help="timed-loop repeats; best is reported (tunnel noise rejection)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -78,7 +84,23 @@ def main() -> None:
     mids32 = mids.astype(np.int32)
     szs32 = szs.astype(np.int32)
 
-    if args.transfer == "frags":
+    if args.transfer == "packed":
+        from nucleoatac_tpu.models.data import pack_fragments
+
+        packed = np.zeros((B, F), np.int32)
+        for b in range(B):
+            pack_fragments(mids[b], szs[b], packed, b)
+        # production wire format: packed words + uint8 sequence codes with
+        # on-device PWM bias (engine built with pwm by _tiny_engine)
+        wp = engine.seq_codes_width()
+        codes = rng.integers(0, 4, size=(B, wp)).astype(np.uint8)
+
+        def one_iter():
+            return engine.full_step_packed_seq(
+                jnp.asarray(packed), jnp.asarray(codes)
+            )
+
+    elif args.transfer == "frags":
 
         def one_iter():
             return engine.full_step_frags(
@@ -95,15 +117,27 @@ def main() -> None:
     jax.block_until_ready(out)  # compile + warmup
     out = one_iter()
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = one_iter()
-    jax.block_until_ready(out)
-    t_dev = (time.perf_counter() - t0) / args.iters
+    # best-of-N timed loops: the host<->device tunnel has multi-x latency
+    # swings between runs; steady-state capability = the best loop
+    t_dev = float("inf")
+    for _ in range(max(1, args.repeats)):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = one_iter()
+        jax.block_until_ready(out)
+        t_dev = min(t_dev, (time.perf_counter() - t0) / args.iters)
     dev_wps = B / t_dev
 
     if args.breakdown:
-        if args.transfer == "frags":
+        if args.transfer == "packed":
+            t_raster = 0.0
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                dev_in = (jnp.asarray(packed), jnp.asarray(codes))
+                jax.block_until_ready(dev_in)
+            t_upload = (time.perf_counter() - t0) / args.iters
+            step = lambda: engine.full_step_packed_seq(*dev_in)  # noqa: E731
+        elif args.transfer == "frags":
             t_raster = 0.0
             t0 = time.perf_counter()
             for _ in range(args.iters):
@@ -147,18 +181,30 @@ def main() -> None:
     q = np.asarray(engine.size_probs, np.float64)
     V = engine.vmat.mat
     n_cpu = max(1, args.cpu_windows)
-    t0 = time.perf_counter()
-    for b in range(n_cpu):
-        mat = mirror.rasterize(mids[b], szs[b], 0, cfg.sizes.upper, W)
-        mirror.occupancy_window(mat, M64, grid, cfg.occ.flank)
-        b0 = mirror.bias_mat(
-            logb[b].astype(np.float64), q, cfg.vmat.lower, cfg.vmat.upper,
-            engine.core_lo, engine.core_hi,
-        )
-        fmat = mat[cfg.vmat.lower : cfg.vmat.upper]
-        sc = mirror.nuc_scores(fmat, b0, V)
-        mirror.gauss_smooth(sc.norm, cfg.nuc.smooth_sd)
-    t_cpu = (time.perf_counter() - t0) / n_cpu
+    pwm = engine.pwm
+    wp_cpu = W + (pwm.length - 1 if pwm is not None else 0)
+    seqs = [
+        "".join("ACGT"[c] for c in rng.integers(0, 4, size=wp_cpu))
+        for _ in range(n_cpu)
+    ]
+    t_cpu = float("inf")
+    for _ in range(2):  # best-of-2: reject host contention noise
+        t0 = time.perf_counter()
+        for b in range(n_cpu):
+            mat = mirror.rasterize(mids[b], szs[b], 0, cfg.sizes.upper, W)
+            mirror.occupancy_window(mat, M64, grid, cfg.occ.flank)
+            if pwm is not None:  # per-window PWM bias (device does this too)
+                lb = pwm.bias_track(seqs[b])[pwm.up : pwm.up + W]
+            else:
+                lb = logb[b].astype(np.float64)
+            b0 = mirror.bias_mat(
+                lb, q, cfg.vmat.lower, cfg.vmat.upper,
+                engine.core_lo, engine.core_hi,
+            )
+            fmat = mat[cfg.vmat.lower : cfg.vmat.upper]
+            sc = mirror.nuc_scores(fmat, b0, V)
+            mirror.gauss_smooth(sc.norm, cfg.nuc.smooth_sd)
+        t_cpu = min(t_cpu, (time.perf_counter() - t0) / n_cpu)
     cpu_wps = 1.0 / t_cpu
 
     print(

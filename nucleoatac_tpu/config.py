@@ -93,10 +93,12 @@ class WindowParams:
     core: int = 1024
     batch: int = 8  # windows per device batch
     frag_cap: int = 32768  # padded fragments per batch bucket
-    # host->device transfer format: "frags" uploads padded fragment lists
-    # and rasterizes on device (~200x less transfer); "dense" uploads
-    # host-rasterized int16 count matrices (fallback)
-    transfer: str = "frags"
+    # host->device transfer format: "packed" uploads ONE int32
+    # (size<<16)|mid word array per batch and rasterizes on device (the
+    # production format — least bytes, fewest transfers); "frags" uploads
+    # separate mids/sizes/valid arrays; "dense" uploads host-rasterized
+    # int16 count matrices (fallback)
+    transfer: str = "packed"
 
     def halo(self, occ: OccParams, vmat: VMatParams) -> int:
         """Context needed on each side of a window core so every per-core

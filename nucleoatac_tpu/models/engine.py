@@ -37,6 +37,7 @@ from nucleoatac_tpu.ops import (
     gauss_smooth_batch,
     occupancy_batch,
     rasterize_batch,
+    rasterize_packed_batch,
 )
 from nucleoatac_tpu.ops.xcorr import _conv_stack, build_kernels
 
@@ -66,6 +67,7 @@ class DeviceEngine:
         vmat: VMat | None = None,
         mesh=None,
         use_pallas: bool = False,
+        pwm=None,
     ):
         self.cfg = cfg
         self.width = cfg.window.width(cfg.occ, cfg.vmat)
@@ -86,6 +88,10 @@ class DeviceEngine:
         q = h / tot if tot > 0 else np.full_like(h, 1.0 / len(h))
         self.size_probs = jnp.asarray(q, jnp.float32)
         self.smooth_kernel = jnp.asarray(gauss_kernel(cfg.nuc.smooth_sd))
+        # optional on-device Tn5 bias from sequence codes (ops/pwmseq.py)
+        self.pwm = pwm
+        if pwm is not None:
+            self.pwm_log_ratio = jnp.asarray(pwm.log_ratio(), jnp.float32)
         # core span inside the window for bias-row normalization
         self.core_lo = self.halo
         self.core_hi = self.width - self.halo
@@ -103,6 +109,9 @@ class DeviceEngine:
             data = NamedSharding(mesh, P("data"))
             jit_kwargs = {"in_shardings": data, "out_shardings": data}
         self._raster = jax.jit(self._raster_impl, **jit_kwargs)
+        self._raster_packed = jax.jit(self._raster_packed_impl, **jit_kwargs)
+        if pwm is not None:
+            self._logbias_seq = jax.jit(self._logbias_seq_impl, **jit_kwargs)
         self._occ_from_mat = jax.jit(self._occ_from_mat_impl, **jit_kwargs)
         self._bias = jax.jit(self._bias_impl, **jit_kwargs)
         self._convs = jax.jit(self._convs_impl, **jit_kwargs)
@@ -120,6 +129,26 @@ class DeviceEngine:
         return rasterize_batch(
             mids, sizes, valid, self.cfg.sizes.lower, self.cfg.sizes.upper, self.width
         )
+
+    def _raster_packed_impl(self, packed):
+        """On-device rasterization from packed `(size<<16)|mid` fragment
+        words — the production transfer format (one int32 array per batch
+        instead of mids/sizes/valid; models/data.py :: pack_fragments)."""
+        return rasterize_packed_batch(
+            packed, self.cfg.sizes.lower, self.cfg.sizes.upper, self.width
+        )
+
+    def _logbias_seq_impl(self, codes):
+        """uint8 base codes over [win_start - pwm.up, win_end + pwm.down)
+        -> [B, W] f32 log bias on the VPU (ops/pwmseq.py). Replaces the
+        host PWM loop + f32 bias upload: 4x fewer wire bytes."""
+        from nucleoatac_tpu.ops.pwmseq import pwm_bias_batch
+
+        return pwm_bias_batch(codes, self.pwm_log_ratio)
+
+    def seq_codes_width(self) -> int:
+        """Wire width of the per-window sequence-code row."""
+        return self.width + self.pwm.length - 1
 
     def _occ_from_mat_impl(self, mat) -> OccTracks:
         mat = mat.astype(jnp.float32)  # int16 counts uploaded; cast on device
@@ -193,7 +222,7 @@ class DeviceEngine:
         return gauss_smooth_batch(x, self.smooth_kernel)
 
     # ---------------- public steps (chained jits) -----------------------
-    # Fragment-list entry points (production transfer format):
+    # Fragment-list entry points (separate mids/sizes/valid arrays):
     def occ_step_frags(self, mids, sizes, valid) -> OccTracks:
         return self._occ_from_mat(self._raster(mids, sizes, valid))
 
@@ -202,6 +231,23 @@ class DeviceEngine:
 
     def full_step_frags(self, mids, sizes, valid, log_bias):
         return self.full_step(self._raster(mids, sizes, valid), log_bias)
+
+    # Packed-word entry points (production transfer format):
+    def occ_step_packed(self, packed) -> OccTracks:
+        return self._occ_from_mat(self._raster_packed(packed))
+
+    def nuc_step_packed(self, packed, log_bias) -> NucTracks:
+        return self.nuc_step(self._raster_packed(packed), log_bias)
+
+    def full_step_packed(self, packed, log_bias):
+        return self.full_step(self._raster_packed(packed), log_bias)
+
+    # Sequence-code entry points (device PWM bias; requires pwm=...):
+    def nuc_step_packed_seq(self, packed, codes) -> NucTracks:
+        return self.nuc_step(self._raster_packed(packed), self._logbias_seq(codes))
+
+    def full_step_packed_seq(self, packed, codes):
+        return self.full_step(self._raster_packed(packed), self._logbias_seq(codes))
 
     # Dense-matrix entry points (host-rasterized int16 fallback):
     # mat: [B, S_full, W] counts, cast to f32 on device
@@ -231,6 +277,9 @@ class DeviceEngine:
     # as the reference composition; do NOT jit monolithically on axon)
     def full_impl_frags(self, mids, sizes, valid, log_bias):
         return self.full_impl(self._raster_impl(mids, sizes, valid), log_bias)
+
+    def full_impl_packed(self, packed, log_bias):
+        return self.full_impl(self._raster_packed_impl(packed), log_bias)
 
     def full_impl(self, mat, log_bias):
         occ = self._occ_from_mat_impl(mat)

@@ -24,6 +24,7 @@ from nucleoatac_tpu.models.data import (
     ChunkAssembler,
     make_batches,
     make_dense_batches,
+    make_packed_batches,
     tile_chunks,
 )
 from nucleoatac_tpu.models.engine import DeviceEngine
@@ -58,6 +59,32 @@ class NucStageResult:
     redundant: List[NucCall] = field(default_factory=list)
     nuc_dist: np.ndarray = field(default_factory=lambda: np.zeros(1001, np.int64))
     tracks: Dict[int, Dict[str, np.ndarray]] = field(default_factory=dict)
+
+
+def chunk_seq_codes(
+    fasta: Optional[FastaFile], chrom: str, lo: int, hi: int
+) -> np.ndarray:
+    """uint8 base codes (0..3 = ACGT, 4 = N/out-of-genome) over [lo, hi).
+
+    The wire format for on-device PWM bias (ops/pwmseq.py): 4x fewer
+    bytes than the f32 log-bias rows it replaces, and the PWM loop moves
+    off the host."""
+    from nucleoatac_tpu.core.pwm import BASE_INDEX
+
+    n = hi - lo
+    out = np.full(n, 4, dtype=np.uint8)
+    if fasta is None:
+        return out
+    a = max(0, lo)
+    if a >= hi:
+        return out
+    seq = fasta.fetch(chrom, a, hi)
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    codes = BASE_INDEX[np.frombuffer(seq, dtype=np.uint8)]
+    codes = np.where(codes < 0, 4, codes).astype(np.uint8)
+    out[a - lo : a - lo + len(codes)] = codes
+    return out
 
 
 def chunk_log_bias(
@@ -147,7 +174,47 @@ class NucStage:
                 logb[r, dst : dst + len(seg)] = seg
             return logb
 
-        if cfg.window.transfer == "frags":
+        # per-chunk sequence-code caches (device PWM bias path)
+        codes_cache: Dict[int, np.ndarray] = {}
+
+        def batch_seq_codes(batch):
+            """[B, W + L - 1] uint8 rows starting at win_start - pwm.up."""
+            up = eng.pwm.up
+            wp = eng.seq_codes_width()
+            codes = np.full((cfg.window.batch, wp), 4, dtype=np.uint8)
+            for r, t in enumerate(batch.meta):
+                cid = t.chunk_id
+                chunk = chunks[cid]
+                if cid not in codes_cache:
+                    codes_cache[cid] = chunk_seq_codes(
+                        self.fasta, chunk.chrom,
+                        chunk.start - halo - up,
+                        chunk.end + halo + eng.width + eng.pwm.down,
+                    )
+                cb = codes_cache[cid]
+                a = (t.win_start - up) - (chunk.start - halo - up)
+                seg = cb[max(0, a) : a + wp]
+                dst = max(0, -a)
+                codes[r, dst : dst + len(seg)] = seg
+            return codes
+
+        if cfg.window.transfer == "packed" and eng.pwm is not None:
+
+            def dispatch(batch):
+                return eng.nuc_step_packed_seq(
+                    jnp.asarray(batch.packed), jnp.asarray(batch_seq_codes(batch))
+                )
+
+            batches = make_packed_batches(frags, tiles, eng.width, cfg.window.batch)
+        elif cfg.window.transfer == "packed":
+
+            def dispatch(batch):
+                return eng.nuc_step_packed(
+                    jnp.asarray(batch.packed), jnp.asarray(batch_log_bias(batch))
+                )
+
+            batches = make_packed_batches(frags, tiles, eng.width, cfg.window.batch)
+        elif cfg.window.transfer == "frags":
 
             def dispatch(batch):
                 return eng.nuc_step_frags(
@@ -182,6 +249,7 @@ class NucStage:
                 vals = {n: arrs[n][r] for n in names}
                 for cid, chunk, tracks in asm.add(t, vals, col):
                     bias_cache.pop(cid, None)  # all tiles dispatched; free it
+                    codes_cache.pop(cid, None)
                     self._finish_chunk(cid, chunk, tracks, occ_lookup, writers, res)
                     if keep_tracks:
                         res.tracks[cid] = tracks

@@ -19,7 +19,12 @@ from nucleoatac_tpu.core.mixture import FragmentMixDistribution
 from nucleoatac_tpu.io.bam import BamFragments
 from nucleoatac_tpu.io.bedgraph import vals_to_intervals
 from nucleoatac_tpu.io.tabix import TabixWriter
-from nucleoatac_tpu.models.data import make_batches, make_dense_batches, tile_chunks
+from nucleoatac_tpu.models.data import (
+    make_batches,
+    make_dense_batches,
+    make_packed_batches,
+    tile_chunks,
+)
 from nucleoatac_tpu.models.engine import DeviceEngine
 from nucleoatac_tpu.utils.numerics import greedy_select_fast, local_max_candidates_fast
 
@@ -122,7 +127,13 @@ class OccStage:
         asm.expect(tiles)
         import jax.numpy as jnp
 
-        if cfg.window.transfer == "frags":
+        if cfg.window.transfer == "packed":
+
+            def dispatch(batch):
+                return eng.occ_step_packed(jnp.asarray(batch.packed))
+
+            batches = make_packed_batches(frags, tiles, eng.width, cfg.window.batch)
+        elif cfg.window.transfer == "frags":
 
             def dispatch(batch):
                 return eng.occ_step_frags(

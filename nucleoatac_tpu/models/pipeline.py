@@ -123,7 +123,7 @@ def run_pipeline(
         if resume and _occ_outputs_exist(out_prefix):
             with stage_timer("occ (resumed from files)"):
                 fs, mix, occ_res = _load_occ_stage(out_prefix, cfg, chunks)
-                engine = DeviceEngine(cfg, mix, fs, vmat)
+                engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm)
         else:
             with stage_timer("occ"):
                 fs, mix = fit_mixture(frags, chunks, cfg)
@@ -131,7 +131,7 @@ def run_pipeline(
                 mix.save(f"{out_prefix}.occ_fit.txt")
                 if write_plots:
                     plotting.plot_occ_fit(mix, f"{out_prefix}.occ_fit.eps")
-                engine = DeviceEngine(cfg, mix, fs, vmat)
+                engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm)
                 occ_stage = OccStage(cfg, engine)
                 occ_res = occ_stage.run(
                     frags, chunks, mix, fs, out_prefix, keep_tracks=True

@@ -99,7 +99,7 @@ def run_nuc(args) -> None:
     fs = FragmentSizes.open(sizes_path)
     mix = FragmentMixDistribution.open(f"{prefix}.occ_fit.txt")
     vmat = VMat.open(args.vmat) if args.vmat else VMat.default(cfg.vmat)
-    engine = DeviceEngine(cfg, mix, fs, vmat)
+    engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm)
     occ_reader = OccTrackReader(prefix)
     res = NucStage(cfg, engine, pwm, fasta).run(
         frags, chunks, occ_reader.lookup, args.out

@@ -1,4 +1,8 @@
-from nucleoatac_tpu.ops.rasterize import rasterize_batch
+from nucleoatac_tpu.ops.rasterize import (
+    rasterize_batch,
+    rasterize_packed_batch,
+    unpack_fragments,
+)
 from nucleoatac_tpu.ops.occupancy import occupancy_batch
 from nucleoatac_tpu.ops.biasmat import bias_mat_batch
 from nucleoatac_tpu.ops.xcorr import nuc_scores_batch
@@ -7,6 +11,8 @@ from nucleoatac_tpu.ops.peaks import local_max_batch, greedy_select_batch
 
 __all__ = [
     "rasterize_batch",
+    "rasterize_packed_batch",
+    "unpack_fragments",
     "occupancy_batch",
     "bias_mat_batch",
     "nuc_scores_batch",

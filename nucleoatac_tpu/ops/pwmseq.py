@@ -1,0 +1,35 @@
+"""On-device Tn5 PWM bias scoring from sequence codes.
+
+Device analogue of reference:pyatac/bias.py :: InsertionBiasTrack
+.computeBias (SURVEY.md §3.1 / §4.2 hot loop 5 "PWM bias scoring over
+sequence"): per-bp log bias ``B[p] = sum_col log(pwm[base(p+col-up), col]
+/ 0.25)``, with non-ACGT / out-of-genome context contributing 0
+(core/pwm.py :: PWM.bias_track is the host/f64 mirror).
+
+Wire format: uint8 base codes (0..3 = ACGT, >=4 = N/out-of-genome) over
+``[win_start - up, win_start + W + down)`` — 4x fewer bytes than the f32
+log-bias track they replace, and the scoring moves off the host onto the
+VPU as a one-hot x [4, L] valid conv (one_hot of codes >= 4 is all-zero,
+which implements the contribute-0 rule for free).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pwm_bias_batch(codes: jax.Array, log_ratio: jax.Array) -> jax.Array:
+    """codes: [B, W + L - 1] uint8; log_ratio: [4, L] f32 -> [B, W] f32.
+
+    Output position p scores the context codes[p : p + L] (callers upload
+    codes starting at genomic ``win_start - up``, so output column 0 is
+    the window's first bp).
+    """
+    onehot = jax.nn.one_hot(codes, 4, dtype=jnp.float32)  # [B, Wp, 4]
+    x = onehot.transpose(0, 2, 1)  # [B, 4, Wp]
+    k = log_ratio[None].astype(jnp.float32)  # [1, 4, L]
+    out = jax.lax.conv_general_dilated(
+        x, k, (1,), "VALID", dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[:, 0, :]

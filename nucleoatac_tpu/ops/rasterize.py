@@ -19,6 +19,28 @@ import jax
 import jax.numpy as jnp
 
 
+def unpack_fragments(packed: jax.Array):
+    """Unpack [B, F] int32 `(size << 16) | mid` fragment words.
+
+    The packed word is the production host->device wire format
+    (models/data.py :: pack_fragments): one array instead of three
+    (mids/sizes/valid), halving transfer bytes and cutting per-batch
+    transfer count 3x — the host->device link is the pipeline bottleneck
+    (DESIGN.md §10). size == 0 marks padding, so validity costs no bits.
+    """
+    mids = packed & 0xFFFF
+    sizes = packed >> 16  # packed is non-negative: arithmetic shift is safe
+    return mids, sizes, sizes > 0
+
+
+def rasterize_packed_batch(
+    packed: jax.Array, lower: int, upper: int, width: int
+) -> jax.Array:
+    """[B, F] packed fragment words -> [B, upper-lower, width] f32 counts."""
+    mids, sizes, valid = unpack_fragments(packed)
+    return rasterize_batch(mids, sizes, valid, lower, upper, width)
+
+
 def rasterize_batch(
     mids: jax.Array,  # [B, F] window-relative midpoints; invalid: any value
     sizes: jax.Array,  # [B, F] adjusted sizes; invalid rows marked by valid

@@ -1,0 +1,123 @@
+"""Packed fragment wire format + on-device PWM bias (ops/pwmseq.py).
+
+Packed `(size<<16)|mid` words and uint8 sequence codes are the production
+host->device transfer; these tests pin them to the separate-array path
+and the host float64 PWM oracle (core/pwm.py :: PWM.bias_track)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nucleoatac_tpu.core.pwm import BASE_INDEX, PWM
+from nucleoatac_tpu.models.data import pack_fragments
+from nucleoatac_tpu.ops import rasterize_batch, rasterize_packed_batch, unpack_fragments
+from nucleoatac_tpu.ops.pwmseq import pwm_bias_batch
+
+
+def test_pack_roundtrip(rng):
+    B, F = 4, 200
+    mids = rng.integers(0, 60000, size=(B, F)).astype(np.int32)
+    sizes = rng.integers(1, 300, size=(B, F)).astype(np.int32)
+    packed = np.zeros((B, F), np.int32)
+    n_valid = [F, 150, 0, 37]
+    for b in range(B):
+        pack_fragments(mids[b, : n_valid[b]], sizes[b, : n_valid[b]], packed, b)
+    m, s, v = map(np.asarray, unpack_fragments(jnp.asarray(packed)))
+    for b in range(B):
+        n = n_valid[b]
+        assert (v[b, :n]).all() and not v[b, n:].any()
+        np.testing.assert_array_equal(m[b, :n], mids[b, :n])
+        np.testing.assert_array_equal(s[b, :n], sizes[b, :n])
+
+
+def test_rasterize_packed_matches_frags(rng):
+    B, F, W, LOWER, UPPER = 3, 500, 512, 0, 251
+    mids = rng.integers(0, W, size=(B, F)).astype(np.int32)
+    sizes = rng.integers(1, 300, size=(B, F)).astype(np.int32)
+    n_valid = [F, 123, 0]
+    packed = np.zeros((B, F), np.int32)
+    valid = np.zeros((B, F), bool)
+    for b in range(B):
+        pack_fragments(mids[b, : n_valid[b]], sizes[b, : n_valid[b]], packed, b)
+        valid[b, : n_valid[b]] = True
+    a = np.asarray(
+        rasterize_batch(
+            jnp.asarray(mids), jnp.asarray(sizes), jnp.asarray(valid),
+            LOWER, UPPER, W,
+        )
+    )
+    d = np.asarray(rasterize_packed_batch(jnp.asarray(packed), LOWER, UPPER, W))
+    np.testing.assert_array_equal(a, d)
+
+
+def test_pwm_bias_matches_host_oracle(rng):
+    pwm = PWM.default()
+    W = 400
+    wp = W + pwm.length - 1
+    seq = "".join(
+        rng.choice(list("ACGTN"), size=wp, p=[0.24, 0.24, 0.24, 0.24, 0.04])
+    )
+    codes = BASE_INDEX[np.frombuffer(seq.encode(), np.uint8)]
+    codes = np.where(codes < 0, 4, codes).astype(np.uint8)
+    host = pwm.bias_track(seq)[pwm.up : pwm.up + W]
+    dev = np.asarray(
+        pwm_bias_batch(
+            jnp.asarray(codes[None]), jnp.asarray(pwm.log_ratio(), jnp.float32)
+        )
+    )[0]
+    np.testing.assert_allclose(dev, host, atol=2e-6)
+
+
+def test_pwm_bias_out_of_genome_edges():
+    """Codes 4 (N / out-of-genome) contribute zero, matching the host
+    oracle's partial-context behavior at sequence boundaries."""
+    pwm = PWM.default()
+    W = 50
+    wp = W + pwm.length - 1
+    codes = np.full(wp, 4, np.uint8)
+    codes[pwm.up + 10 : pwm.up + 40] = 2  # a G run mid-window
+    dev = np.asarray(
+        pwm_bias_batch(
+            jnp.asarray(codes[None]), jnp.asarray(pwm.log_ratio(), jnp.float32)
+        )
+    )[0]
+    seq = "".join("G" if 10 <= i - pwm.up < 40 else "N" for i in range(wp))
+    host = pwm.bias_track(seq)[pwm.up : pwm.up + W]
+    np.testing.assert_allclose(dev, host, atol=2e-6)
+
+
+def test_engine_seq_path_matches_host_bias_path(rng):
+    """full_step_packed_seq == full_step_packed(host-computed bias) at f32."""
+    from __graft_entry__ import _tiny_engine
+
+    cfg, _ = _tiny_engine()
+    from nucleoatac_tpu.models.engine import DeviceEngine
+    from nucleoatac_tpu.core.fragmentsizes import FragmentSizes
+    from nucleoatac_tpu.core.mixture import FragmentMixDistribution
+
+    s = np.arange(cfg.sizes.lower, cfg.sizes.upper, dtype=np.float64)
+    counts = (
+        2e4 * np.exp(-s / 45.0) + 1.5e4 * np.exp(-0.5 * ((s - 147) / 20) ** 2)
+    ).astype(np.int64)
+    fs = FragmentSizes(cfg.sizes.lower, cfg.sizes.upper, counts)
+    mix = FragmentMixDistribution(cfg.sizes.lower, cfg.sizes.upper).fit(fs)
+    pwm = PWM.default()
+    eng = DeviceEngine(cfg, mix, fs, pwm=pwm)
+
+    B, F, W = 2, 256, eng.width
+    mids = rng.integers(0, W, size=(B, F)).astype(np.int32)
+    sizes = rng.integers(20, 250, size=(B, F)).astype(np.int32)
+    packed = np.zeros((B, F), np.int32)
+    for b in range(B):
+        pack_fragments(mids[b], sizes[b], packed, b)
+    wp = eng.seq_codes_width()
+    codes = rng.integers(0, 4, size=(B, wp)).astype(np.uint8)
+    # host bias from the same codes
+    logb = np.zeros((B, W), np.float32)
+    for b in range(B):
+        seq = "".join("ACGT"[c] for c in codes[b])
+        logb[b] = pwm.bias_track(seq)[pwm.up : pwm.up + W].astype(np.float32)
+
+    o1 = eng.full_step_packed(jnp.asarray(packed), jnp.asarray(logb))
+    o2 = eng.full_step_packed_seq(jnp.asarray(packed), jnp.asarray(codes))
+    for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(o2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
