@@ -24,7 +24,7 @@ import numpy as np
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--frag-cap", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--cpu-windows", type=int, default=3)

@@ -48,8 +48,11 @@ def occupancy_batch(
     ci_drop: float = 1.92,
 ) -> OccOut:
     # [B, W, G] projection on the MXU
+    # HIGH (bf16x3) keeps the alpha-argmax stable vs the f64 mirror:
+    # counts are bf16-exact integers, so only the log-mix table rounds
     proj = jnp.einsum(
-        "bsw,sg->bwg", mat, log_mix, preferred_element_type=jnp.float32
+        "bsw,sg->bwg", mat, log_mix, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
     )
     ll = _sliding_sum(proj, flank)  # [B, W, G]
     n = _sliding_sum(mat.sum(axis=1)[..., None], flank)[..., 0]  # [B, W]

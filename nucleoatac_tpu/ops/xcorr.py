@@ -44,8 +44,16 @@ def build_kernels(vmat: np.ndarray, v_floor: float = 1e-5):
     return jnp.asarray(fk), jnp.asarray(bk)
 
 
-def _conv_stack(x: jax.Array, kern: jax.Array) -> jax.Array:
-    """[B, S, W] (x) [C, S, K] -> [B, C, W-K+1] valid cross-correlation."""
+def _conv_stack(
+    x: jax.Array, kern: jax.Array, precision=jax.lax.Precision.HIGH
+) -> jax.Array:
+    """[B, S, W] (x) [C, S, K] -> [B, C, W-K+1] valid cross-correlation.
+
+    Default precision HIGH (bf16x3 on TPU): counts are bf16-exact small
+    integers, and measured max rel error vs f64 is ~1e-6 — below the
+    %.5g output print precision (DESIGN.md §12 parity budget) at half
+    the cost of full-f32 passes (8.0 ms vs 13.7 ms for the 5-channel
+    stack at B=128; plain bf16 is 4.4 ms but ~5e-5 rel err)."""
     return jax.lax.conv_general_dilated(
         x,
         kern,
@@ -53,6 +61,7 @@ def _conv_stack(x: jax.Array, kern: jax.Array) -> jax.Array:
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
 
 
