@@ -78,7 +78,9 @@ def run_distributed(
     log.info("host %d/%d: %d of %d chunks", pid, nhosts, len(local_chunks),
              len(all_chunks))
     shard_prefix = f"{out_prefix}.part{pid}"
-    engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm)
+    from nucleoatac_tpu.models.pipeline import auto_mesh
+
+    engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm, mesh=auto_mesh(cfg))
     occ_res = OccStage(cfg, engine).run(
         frags, local_chunks, mix, fs, shard_prefix, keep_tracks=True
     )

@@ -91,6 +91,21 @@ def occ_lookup_from_tracks(occ_result: OccStageResult):
     return lookup
 
 
+def auto_mesh(cfg: RunConfig):
+    """1-D ('data',) mesh over all local devices when the window batch
+    divides evenly; None (single-device jit) otherwise. The reference
+    scales with `--cores` processes (SURVEY.md §3.3); here extra chips
+    shard the window batch."""
+    import jax
+
+    devs = jax.devices()
+    if len(devs) > 1 and cfg.window.batch % len(devs) == 0:
+        from nucleoatac_tpu.parallel.mesh import make_mesh
+
+        return make_mesh()
+    return None
+
+
 def run_pipeline(
     bam: str,
     bed: str,
@@ -123,7 +138,7 @@ def run_pipeline(
         if resume and _occ_outputs_exist(out_prefix):
             with stage_timer("occ (resumed from files)"):
                 fs, mix, occ_res = _load_occ_stage(out_prefix, cfg, chunks)
-                engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm)
+                engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm, mesh=auto_mesh(cfg))
         else:
             with stage_timer("occ"):
                 fs, mix = fit_mixture(frags, chunks, cfg)
@@ -131,7 +146,7 @@ def run_pipeline(
                 mix.save(f"{out_prefix}.occ_fit.txt")
                 if write_plots:
                     plotting.plot_occ_fit(mix, f"{out_prefix}.occ_fit.eps")
-                engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm)
+                engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm, mesh=auto_mesh(cfg))
                 occ_stage = OccStage(cfg, engine)
                 occ_res = occ_stage.run(
                     frags, chunks, mix, fs, out_prefix, keep_tracks=True

@@ -85,7 +85,9 @@ def run_occ(args) -> None:
     mix.save(f"{args.out}.occ_fit.txt")
     if not args.no_plots:
         plotting.plot_occ_fit(mix, f"{args.out}.occ_fit.eps")
-    engine = DeviceEngine(cfg, mix, fs)
+    from nucleoatac_tpu.models.pipeline import auto_mesh
+
+    engine = DeviceEngine(cfg, mix, fs, mesh=auto_mesh(cfg))
     OccStage(cfg, engine).run(frags, chunks, mix, fs, args.out, keep_tracks=False)
 
 
@@ -99,7 +101,9 @@ def run_nuc(args) -> None:
     fs = FragmentSizes.open(sizes_path)
     mix = FragmentMixDistribution.open(f"{prefix}.occ_fit.txt")
     vmat = VMat.open(args.vmat) if args.vmat else VMat.default(cfg.vmat)
-    engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm)
+    from nucleoatac_tpu.models.pipeline import auto_mesh
+
+    engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm, mesh=auto_mesh(cfg))
     occ_reader = OccTrackReader(prefix)
     res = NucStage(cfg, engine, pwm, fasta).run(
         frags, chunks, occ_reader.lookup, args.out
