@@ -51,6 +51,12 @@ class OccParams:
     min_occ: float = 0.1  # lower-bound threshold for occ peaks
     occ_sep: int = 120  # min distance between occ peaks
     mix_floor: float = 1e-10
+    # f64-exact finishing (DESIGN.md §4): positions whose device LL
+    # margins fall below exact_tol are re-finished on host in float64
+    # from the raw fragment lists, making occ/lower/upper outputs equal
+    # to the f64 mirror's grid selections
+    exact: bool = True
+    exact_tol: float = 0.05  # conservative bound on |LL_f32 - LL_f64|
 
 
 @dataclass(frozen=True)

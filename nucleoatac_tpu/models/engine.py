@@ -47,6 +47,8 @@ class OccTracks(NamedTuple):
     lower: jax.Array
     upper: jax.Array
     n: jax.Array
+    margin: jax.Array  # f64-certification margins; see ops/occupancy.py
+    ci_margin: jax.Array
 
 
 class NucTracks(NamedTuple):
@@ -155,7 +157,9 @@ class DeviceEngine:
         out = occupancy_batch(
             mat, self.log_mix, self.alpha_grid, self.cfg.occ.flank, self.cfg.occ.ci_drop
         )
-        return OccTracks(out.occ, out.lower, out.upper, out.n)
+        return OccTracks(
+            out.occ, out.lower, out.upper, out.n, out.margin, out.ci_margin
+        )
 
     def _bias_impl(self, log_bias):
         return bias_mat_batch(

@@ -123,7 +123,12 @@ class OccStage:
         tiles = tile_chunks(chunks, cfg.window, cfg.occ, cfg.vmat)
         from nucleoatac_tpu.models.data import ChunkAssembler
 
-        asm = ChunkAssembler(chunks, ["occ", "lower", "upper"])
+        names = ["occ", "lower", "upper"]
+        if cfg.occ.exact:
+            names += ["margin", "ci_margin"]
+            self._m64 = mix.log_mix_table(cfg.occ)  # float64 host tables
+            self._grid64 = mix.alpha_grid(cfg.occ)
+        asm = ChunkAssembler(chunks, names)
         asm.expect(tiles)
         import jax.numpy as jnp
 
@@ -153,14 +158,32 @@ class OccStage:
                 cfg.sizes.lower, cfg.sizes.upper,
             )
         # double-buffered: batch i+1 runs on device while host assembles i
+        # values live on the discrete alpha grid; snap the downloaded f32
+        # back to the f64 grid values (linspace(0, 1, G)) so outputs carry
+        # f64 grid points, not their f32 roundings
+        G = cfg.occ.grid_size
+        grid64 = mix.alpha_grid(cfg.occ)
+
+        def snap(x):
+            v = np.asarray(x, np.float64)
+            return grid64[np.clip(np.rint(v * (G - 1)).astype(np.int64), 0, G - 1)]
+
         for batch, out in _pipelined(batches, dispatch):
-            occ_b = np.asarray(out.occ, np.float64)
-            lo_b = np.asarray(out.lower, np.float64)
-            up_b = np.asarray(out.upper, np.float64)
+            occ_b = snap(out.occ)
+            lo_b = snap(out.lower)
+            up_b = snap(out.upper)
+            if cfg.occ.exact:
+                mg_b = np.asarray(out.margin, np.float64)
+                cm_b = np.asarray(out.ci_margin, np.float64)
             for r, t in enumerate(batch.meta):
                 col = t.core_start - t.win_start
                 vals = {"occ": occ_b[r], "lower": lo_b[r], "upper": up_b[r]}
+                if cfg.occ.exact:
+                    vals["margin"] = mg_b[r]
+                    vals["ci_margin"] = cm_b[r]
                 for cid, chunk, tracks in asm.add(t, vals, col):
+                    if cfg.occ.exact:
+                        self._exact_refinish(chunk, tracks, frags)
                     peaks = self._finish_chunk(chunk, tracks, writers)
                     result.peaks.extend(peaks)
                     if keep_tracks:
@@ -169,6 +192,43 @@ class OccStage:
         for w in writers.values():
             w.close()
         return result
+
+    def _exact_refinish(self, chunk: Chunk, tracks, frags: BamFragments) -> None:
+        """Re-finish uncertified positions in float64 (DESIGN.md §4).
+
+        Device f32 LL surfaces select the same discrete grid values as
+        the f64 mirror except at near-ties; `margin`/`ci_margin` bound
+        the distance to the nearest tie, so positions clearing
+        exact_tol are provably f64-equal and only the rest (rare) are
+        recomputed here from raw fragment windows — integer counts, so
+        the f64 finishing step is deterministic and mirror-identical."""
+        cfg = self.cfg
+        tol = cfg.occ.exact_tol
+        mg = tracks.pop("margin")
+        cm = tracks.pop("ci_margin")
+        flagged = np.flatnonzero((mg < tol) | (cm < tol))
+        if len(flagged) == 0:
+            return
+        p0 = cfg.occ
+        lower, upper = cfg.sizes.lower, cfg.sizes.upper
+        M64, grid64 = self._m64, self._grid64
+        G = len(grid64)
+        for i in flagged:
+            pos = chunk.start + int(i)
+            _, s = frags.window(chunk.chrom, pos - p0.flank, pos + p0.flank + 1)
+            s = s[(s >= lower) & (s < upper)]
+            if len(s) == 0:
+                tracks["occ"][i] = 0.0
+                tracks["lower"][i] = 0.0
+                tracks["upper"][i] = 1.0
+                continue
+            cnt = np.bincount(s - lower, minlength=upper - lower)
+            ll = cnt.astype(np.float64) @ M64
+            best = int(np.argmax(ll))
+            ok = ll >= ll[best] - p0.ci_drop
+            tracks["occ"][i] = grid64[best]
+            tracks["lower"][i] = grid64[int(np.argmax(ok))]
+            tracks["upper"][i] = grid64[G - 1 - int(np.argmax(ok[::-1]))]
 
     def _finish_chunk(self, chunk: Chunk, tracks, writers) -> List[OccPeak]:
         cfg = self.cfg

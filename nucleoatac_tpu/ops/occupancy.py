@@ -20,6 +20,12 @@ class OccOut(NamedTuple):
     lower: jax.Array  # [B, W]
     upper: jax.Array  # [B, W]
     n: jax.Array  # [B, W] fragment counts in window
+    # f64-equality certification margins (DESIGN.md §4): a position whose
+    # argmax margin AND CI-boundary margin both exceed the device error
+    # bound provably selects the same grid values as the float64 mirror;
+    # the rest are re-finished in f64 on host (models/occ.py)
+    margin: jax.Array  # [B, W] llmax - second-best LL
+    ci_margin: jax.Array  # [B, W] min_g |ll_g - (llmax - ci_drop)|
 
 
 def _sliding_sum(x: jax.Array, flank: int) -> jax.Array:
@@ -67,10 +73,21 @@ def occupancy_batch(
     occ = jnp.take(alpha_grid, best)
     lo = jnp.take(alpha_grid, first)
     up = jnp.take(alpha_grid, last)
+
+    is_best = jax.nn.one_hot(best, G, dtype=jnp.bool_)
+    ll2 = jnp.max(jnp.where(is_best, -jnp.inf, ll), axis=-1)
+    margin = llmax - ll2
+    thr = llmax[..., None] - ci_drop
+    ci_margin = jnp.min(jnp.abs(ll - thr), axis=-1)
+
     empty = n <= 0
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
     return OccOut(
         occ=jnp.where(empty, 0.0, occ),
         lower=jnp.where(empty, 0.0, lo),
         upper=jnp.where(empty, 1.0, up),
         n=n,
+        # empty windows are exact by definition
+        margin=jnp.where(empty, big, margin),
+        ci_margin=jnp.where(empty, big, ci_margin),
     )

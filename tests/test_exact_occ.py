@@ -1,0 +1,58 @@
+"""f64-exact occupancy finishing (DESIGN.md §4, BASELINE 'bit-identical
+occ' north star): the occ stage's occ/lower/upper tracks must EQUAL the
+float64 mirror's grid selections at every position — device f32 values
+where the certification margins clear exact_tol, host f64 re-finishing
+elsewhere."""
+import numpy as np
+import pytest
+
+from nucleoatac_tpu.config import RunConfig, WindowParams
+from nucleoatac_tpu.core.chunk import ChunkList
+from nucleoatac_tpu.io.bam import scan_bam
+from nucleoatac_tpu.models.engine import DeviceEngine
+from nucleoatac_tpu.models.occ import OccStage, fit_mixture
+from tests.synth import make_example
+
+
+def test_occ_tracks_equal_f64_mirror(tmp_path):
+    ex = make_example(tmp_path)
+    cfg = RunConfig(window=WindowParams(core=256, batch=4))
+    frags = scan_bam(ex["bam"])
+    chunks = ChunkList.read(ex["bed"], frags.chrom_dict).merge()
+    fs, mix = fit_mixture(frags, chunks, cfg)
+    engine = DeviceEngine(cfg, mix, fs)
+    res = OccStage(cfg, engine).run(frags, chunks, mix, fs, keep_tracks=True)
+
+    M64 = mix.log_mix_table(cfg.occ)
+    grid64 = mix.alpha_grid(cfg.occ)
+    G = len(grid64)
+    lower, upper = cfg.sizes.lower, cfg.sizes.upper
+    flank = cfg.occ.flank
+
+    n_checked = 0
+    for cid, tr in res.tracks.items():
+        chunk = chunks[cid]
+        # mirror f64 at every 7th position (speed) plus chunk edges
+        positions = list(range(0, len(chunk), 7)) + [0, len(chunk) - 1]
+        for i in sorted(set(positions)):
+            pos = chunk.start + i
+            _, s = frags.window(chunk.chrom, pos - flank, pos + flank + 1)
+            s = s[(s >= lower) & (s < upper)]
+            if len(s) == 0:
+                exp = (0.0, 0.0, 1.0)
+            else:
+                cnt = np.bincount(s - lower, minlength=upper - lower)
+                ll = cnt.astype(np.float64) @ M64
+                best = int(np.argmax(ll))
+                ok = ll >= ll[best] - cfg.occ.ci_drop
+                exp = (
+                    grid64[best],
+                    grid64[int(np.argmax(ok))],
+                    grid64[G - 1 - int(np.argmax(ok[::-1]))],
+                )
+            got = (tr["occ"][i], tr["lower"][i], tr["upper"][i])
+            assert got == pytest.approx(exp, abs=0), (
+                f"chunk {cid} pos {pos}: device+exact {got} != f64 {exp}"
+            )
+            n_checked += 1
+    assert n_checked > 400
