@@ -74,9 +74,15 @@ class DeviceEngine:
         self.cfg = cfg
         self.width = cfg.window.width(cfg.occ, cfg.vmat)
         self.halo = cfg.window.halo(cfg.occ, cfg.vmat)
-        # occupancy tables (float64 host -> float32 device constants)
-        self.log_mix = jnp.asarray(mix.log_mix_table(cfg.occ), jnp.float32)
-        self.alpha_grid = jnp.asarray(mix.alpha_grid(cfg.occ), jnp.float32)
+        # Occupancy tables (float64 host -> float32 constants).
+        # IMPORTANT: every table the jitted impls close over is kept as a
+        # HOST numpy array, never a committed jax.Array. Closed-over device
+        # arrays are fetched back device->host during jaxpr->MLIR constant
+        # embedding at EVERY trace, and on the remote axon relay those
+        # fetches cost 10s-160s per program (measured); numpy constants
+        # embed instantly and XLA bakes them into the executable either way.
+        self.log_mix = np.asarray(mix.log_mix_table(cfg.occ), np.float32)
+        self.alpha_grid = np.asarray(mix.alpha_grid(cfg.occ), np.float32)
         # template + kernels
         self.vmat = vmat or VMat.default(cfg.vmat)
         if (self.vmat.lower, self.vmat.upper) != (cfg.vmat.lower, cfg.vmat.upper):
@@ -88,12 +94,12 @@ class DeviceEngine:
         h = fragmentsizes.get(cfg.vmat.lower, cfg.vmat.upper).astype(np.float64)
         tot = h.sum()
         q = h / tot if tot > 0 else np.full_like(h, 1.0 / len(h))
-        self.size_probs = jnp.asarray(q, jnp.float32)
-        self.smooth_kernel = jnp.asarray(gauss_kernel(cfg.nuc.smooth_sd))
+        self.size_probs = np.asarray(q, np.float32)
+        self.smooth_kernel = np.asarray(gauss_kernel(cfg.nuc.smooth_sd))
         # optional on-device Tn5 bias from sequence codes (ops/pwmseq.py)
         self.pwm = pwm
         if pwm is not None:
-            self.pwm_log_ratio = jnp.asarray(pwm.log_ratio(), jnp.float32)
+            self.pwm_log_ratio = np.asarray(pwm.log_ratio(), np.float32)
         # core span inside the window for bias-row normalization
         self.core_lo = self.halo
         self.core_hi = self.width - self.halo

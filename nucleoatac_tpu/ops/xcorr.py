@@ -41,7 +41,11 @@ def build_kernels(vmat: np.ndarray, v_floor: float = 1e-5):
     offs = np.broadcast_to((np.arange(K, dtype=np.float64) - K // 2)[None, :], (S, K))
     fk = np.stack([vmat, ones, logv, offs, offs * offs]).astype(np.float32)
     bk = np.stack([ones, vmat, vmat * vmat]).astype(np.float32)
-    return jnp.asarray(fk), jnp.asarray(bk)
+    # returned as HOST numpy: these are closed over by jitted programs, and
+    # numpy constants embed into MLIR instantly, while committed device
+    # arrays would be fetched back over the (slow, remote) axon relay at
+    # every trace (see models/engine.py __init__ note)
+    return fk, bk
 
 
 def _conv_stack(
