@@ -76,6 +76,33 @@ def pyatac_parser() -> argparse.ArgumentParser:
     pp.add_argument("--fasta", required=True)
     pp.add_argument("--up", type=int, default=9)
     pp.add_argument("--down", type=int, default=9)
+
+    pg = sub.add_parser(
+        "signal", help="extract track signal around BED feature centers"
+    )
+    pg.add_argument("--bed", required=True)
+    pg.add_argument("--bg", required=True, help="tabixed bedgraph track")
+    pg.add_argument("--out", required=True)
+    pg.add_argument("--up", type=int, default=250)
+    pg.add_argument("--down", type=int, default=250)
+    pg.add_argument(
+        "--all", action="store_true",
+        help="also write the per-feature signal matrix",
+    )
+    pg.add_argument(
+        "--norm", action="store_true",
+        help="normalize each feature row by its mean before aggregating",
+    )
+
+    pt = sub.add_parser(
+        "nucleotide", help="nucleotide frequencies around BED feature centers"
+    )
+    pt.add_argument("--bed", required=True)
+    pt.add_argument("--fasta", required=True)
+    pt.add_argument("--out", required=True)
+    pt.add_argument("--up", type=int, default=250)
+    pt.add_argument("--down", type=int, default=250)
+    pt.add_argument("--no_plots", action="store_true")
     return p
 
 
@@ -102,6 +129,40 @@ def main(argv=None) -> int:
                 b = chunk_log_bias(fasta, pwm, c.chrom, c.start, c.end)
                 for a, e, v in vals_to_intervals(c.start, b):
                     w.add(c.chrom, a, e, f"{c.chrom}\t{a}\t{e}\t{v}")
+        return 0
+
+    if cmd == "signal":
+        from nucleoatac_tpu.io.tabix import TabixReader
+
+        feats = ChunkList.read(args.bed)
+        mat = P.track_signal_matrix(
+            TabixReader(args.bg), feats, args.up, args.down
+        )
+        if args.norm:
+            means = np.nanmean(mat, axis=1, keepdims=True)
+            means[~np.isfinite(means) | (means == 0)] = 1.0
+            mat = mat / means
+        agg = np.nanmean(mat, axis=0)
+        offs = np.arange(-args.up, args.down + 1)
+        with open(f"{args.out}.signal.agg.txt", "w") as fh:
+            for o, v in zip(offs, agg):
+                fh.write(f"{o}\t{'NA' if np.isnan(v) else f'{v:.6g}'}\n")
+        if args.all:
+            np.savetxt(f"{args.out}.signal.txt", mat, fmt="%.6g")
+        return 0
+
+    if cmd == "nucleotide":
+        fasta = FastaFile(args.fasta)
+        feats = ChunkList.read(args.bed, fasta.get_chrom_dict())
+        freq = P.nucleotide_freq_matrix(fasta, feats, args.up, args.down)
+        offs = np.arange(-args.up, args.down + 1)
+        with open(f"{args.out}.nucfreq.txt", "w") as fh:
+            fh.write("#offset\tA\tC\tG\tT\n")
+            for j, o in enumerate(offs):
+                fh.write(
+                    f"{o}\t" + "\t".join(f"{freq[i, j]:.6g}" for i in range(4))
+                    + "\n"
+                )
         return 0
 
     ingest = IngestParams(atac=not getattr(args, "not_atac", False))

@@ -151,6 +151,60 @@ def bias_vplot(
     return out
 
 
+def track_signal_matrix(
+    reader, features: ChunkList, up: int = 250, down: int = 250
+) -> np.ndarray:
+    """Per-feature signal rows extracted from a (tabixed) bedgraph track
+    around feature centers, strand-aware (reference `pyatac signal` ::
+    pyatac/get_signal.py [M] — SURVEY.md §3.1 notes the command set is
+    [M]-confidence; the mechanism is: fetch track values over
+    [center-up, center+down], flip minus-strand rows). Positions the
+    track does not cover are NaN. Returns [n_features, up+down+1]."""
+    L = up + down + 1
+    out = np.full((len(features), L), np.nan, dtype=np.float64)
+    for i, c in enumerate(features):
+        center = c.center()
+        lo, hi = center - up, center + down + 1
+        for row in reader.fetch(c.chrom, lo, hi):
+            s, e, v = int(row[1]), int(row[2]), float(row[3])
+            a = max(s, lo) - lo
+            b = min(e, hi) - lo
+            if b > a:
+                out[i, a:b] = v
+        if c.strand == "-":
+            out[i] = out[i, ::-1]
+    return out
+
+
+def nucleotide_freq_matrix(
+    fasta: FastaFile, features: ChunkList, up: int = 250, down: int = 250
+) -> np.ndarray:
+    """Nucleotide frequencies per offset around feature centers,
+    strand-aware with reverse-complement on minus strand (reference
+    `pyatac nucleotide` [M]). Returns [4, up+down+1] (rows ACGT)."""
+    L = up + down + 1
+    counts = np.zeros((4, L), dtype=np.float64)
+    chrom_dict = fasta.get_chrom_dict()
+    comp = np.array([3, 2, 1, 0], dtype=np.int64)  # A<->T, C<->G
+    for c in features:
+        center = c.center()
+        lo, hi = center - up, center + down + 1
+        clen = chrom_dict.get(c.chrom)
+        if clen is None or lo < 0 or hi > clen:
+            continue
+        seq = fasta.fetch(c.chrom, lo, hi)
+        arr = BASE_INDEX[np.frombuffer(seq.encode(), dtype=np.uint8)]
+        ok = arr >= 0
+        if c.strand == "-":
+            arr = np.where(ok, comp[np.clip(arr, 0, 3)], -1)[::-1]
+            ok = ok[::-1]
+        cols = np.arange(L)[ok]
+        counts[arr[ok], cols] += 1.0
+    col_sums = counts.sum(axis=0)
+    col_sums[col_sums == 0] = 1.0
+    return counts / col_sums
+
+
 def pwm_from_data(
     frags: BamFragments,
     fasta: FastaFile,

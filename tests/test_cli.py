@@ -98,3 +98,33 @@ def test_pyatac_bias_and_pwm(ex, tmp_path_factory):
         ex["fasta"], "--out", out, "--no_plots",
     ]) == 0
     assert os.path.exists(out + ".Bias.VMat")
+
+
+def test_pyatac_signal_and_nucleotide(ex, tmp_path_factory):
+    d = tmp_path_factory.mktemp("signal")
+    out = str(d / "s")
+    base = ["--bed", ex["bed"], "--bam", ex["bam"], "--out", out, "--no_plots"]
+    assert nucleoatac_main(["occ"] + base) == 0
+    sites = str(d / "sites.bed")
+    with open(sites, "w") as fh:
+        for dy in DYADS:
+            fh.write(f"chr1\t{dy}\t{dy+1}\tsite\t0\t+\n")
+    assert pyatac_main([
+        "signal", "--bed", sites, "--bg", out + ".occ.bedgraph.gz",
+        "--out", out, "--up", "100", "--down", "100", "--all",
+    ]) == 0
+    agg = [l.split("\t") for l in open(out + ".signal.agg.txt")]
+    assert len(agg) == 201
+    center = dict((int(r[0]), r[1]) for r in agg)[0]
+    assert center != "NA" and float(center) > 0.5  # dyads are high-occ
+    mat = np.loadtxt(out + ".signal.txt")
+    assert mat.shape == (len(DYADS), 201)
+    assert pyatac_main([
+        "nucleotide", "--bed", sites, "--fasta", ex["fasta"], "--out", out,
+        "--up", "20", "--down", "20",
+    ]) == 0
+    rows = open(out + ".nucfreq.txt").read().strip().splitlines()
+    assert rows[0].startswith("#offset")
+    assert len(rows) == 42
+    freqs = np.array([[float(x) for x in r.split("\t")[1:]] for r in rows[1:]])
+    np.testing.assert_allclose(freqs.sum(axis=1), 1.0, atol=1e-9)

@@ -69,3 +69,45 @@ def test_insertions_in_counts_both_ends(frags):
     n = frags.insertions_in("chr1", 0, 10000)
     ends = _ends(frags)
     assert n == ((ends >= 0) & (ends < 10000)).sum()
+
+
+def test_track_signal_matrix_strand_and_nan():
+    class FakeReader:
+        def fetch(self, chrom, start, end):
+            # one covered interval [100, 110) with value 2.5
+            if chrom == "chr1" and start < 110 and 100 < end:
+                yield ["chr1", "100", "110", "2.5"]
+
+    feats = ChunkList(
+        [Chunk("chr1", 100, 110, strand="+"), Chunk("chr1", 100, 110, strand="-")]
+    )
+    mat = P.track_signal_matrix(FakeReader(), feats, up=10, down=5)
+    # center = 105; covered offsets [-5, +4] forward
+    assert mat.shape == (2, 16)
+    fwd = mat[0]
+    assert np.isnan(fwd[0]) and np.isnan(fwd[-1])
+    np.testing.assert_allclose(fwd[5:15], 2.5)
+    # minus strand is the flipped row
+    np.testing.assert_array_equal(
+        np.isnan(mat[1]), np.isnan(fwd[::-1])
+    )
+    np.testing.assert_allclose(mat[1][1:11], 2.5)
+
+
+def test_nucleotide_freq_matrix_revcomp(tmp_path):
+    from nucleoatac_tpu.io.fasta import FastaFile, write_fasta
+
+    seq = "ACGTACGTACGTACGTACGT"
+    fa = str(tmp_path / "t.fa")
+    write_fasta(fa, {"chr1": seq})
+    fasta = FastaFile(fa)
+    fwd = ChunkList([Chunk("chr1", 10, 11, strand="+")])
+    rev = ChunkList([Chunk("chr1", 10, 11, strand="-")])
+    a = P.nucleotide_freq_matrix(fasta, fwd, up=4, down=4)
+    b = P.nucleotide_freq_matrix(fasta, rev, up=4, down=4)
+    # single feature: each column is a one-hot of the base at that offset
+    center_base = seq[10]
+    assert a["ACGT".index(center_base), 4] == 1.0
+    # reverse complement: A row of fwd == T row of rev mirrored
+    np.testing.assert_array_equal(a[0], b[3, ::-1])
+    np.testing.assert_array_equal(a[1], b[2, ::-1])
