@@ -283,13 +283,23 @@ class DeviceEngine:
         fo, bo = self._convs(mat, self._bias(log_bias))
         return occ, self._finish(fo, bo)
 
-    # single-traceable fused forms (used by the multichip dryrun and kept
-    # as the reference composition; do NOT jit monolithically on axon)
+    # Single-traceable fused forms (multichip dryrun + compile checks).
+    # Do NOT use monolithically on axon for real work: the fused
+    # conv+elementwise program still miscompiles there at production
+    # shapes (B>=8, 1024-bp cores: norm off by O(1) vs the f64 mirror,
+    # re-verified after the host-numpy constants fix), while the chained
+    # stages match the mirror to ~6e-5. At tiny shapes (B=2, 256-bp) the
+    # fused program is correct — which is what entry() compile-checks.
     def full_impl_frags(self, mids, sizes, valid, log_bias):
         return self.full_impl(self._raster_impl(mids, sizes, valid), log_bias)
 
     def full_impl_packed(self, packed, log_bias):
         return self.full_impl(self._raster_packed_impl(packed), log_bias)
+
+    def full_impl_packed_seq(self, packed, codes):
+        return self.full_impl(
+            self._raster_packed_impl(packed), self._logbias_seq_impl(codes)
+        )
 
     def full_impl(self, mat, log_bias):
         occ = self._occ_from_mat_impl(mat)
