@@ -167,6 +167,24 @@ class DeviceEngine:
             out.occ, out.lower, out.upper, out.n, out.margin, out.ci_margin
         )
 
+    def _occ_packed_impl(self, mat):
+        """Wire-optimized occ finisher: uint8 [B, 4, W] grid indices +
+        certified flag (ops/occupancy.py :: occupancy_packed) — ONE small
+        download per batch instead of six f32 tracks."""
+        from nucleoatac_tpu.ops.occupancy import occupancy_packed
+
+        mat = mat.astype(jnp.float32)
+        return occupancy_packed(
+            mat, self.log_mix, self.cfg.occ.flank, self.cfg.occ.ci_drop,
+            self.cfg.occ.exact_tol,
+        )
+
+    def _finish5_impl(self, fo, bo):
+        """NucTracks stacked into one f32 [B, 5, W] (norm, norm_smooth,
+        signal, lr, fuzz) — ONE download per batch instead of five."""
+        t = self._finish_impl(fo, bo)
+        return jnp.stack([t.norm, t.norm_smooth, t.signal, t.lr, t.fuzz], axis=1)
+
     def _bias_impl(self, log_bias):
         return bias_mat_batch(
             log_bias,

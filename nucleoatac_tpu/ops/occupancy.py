@@ -46,14 +46,53 @@ def _sliding_sum(x: jax.Array, flank: int) -> jax.Array:
     )
 
 
-def occupancy_batch(
+def occupancy_packed(
     mat: jax.Array,  # [B, S, W] float32 counts (integer-valued)
     log_mix: jax.Array,  # [S, G] float32
-    alpha_grid: jax.Array,  # [G] float32
     flank: int,
     ci_drop: float = 1.92,
-) -> OccOut:
-    # [B, W, G] projection on the MXU
+    exact_tol: float = 0.05,
+) -> jax.Array:
+    """Wire-optimized occupancy finisher: ONE uint8 [B, 4, W] output.
+
+    Channels: 0 = argmax grid index, 1 = CI-lower index, 2 = CI-upper
+    index, 3 = certified flag (both LL margins clear ``exact_tol`` —
+    DESIGN.md §4 — or the window is empty). Occupancy values live on the
+    discrete alpha grid, so grid INDICES are the lossless wire format:
+    the host decodes with the float64 grid (models/occ.py), which also
+    replaces the f32->grid snapping step. One uint8 array per batch costs
+    ~33 ms on the relay vs ~210 ms for the six separate f32 downloads of
+    :func:`occupancy_batch` (23 ms fixed RTT per fetch, measured)."""
+    ll, n = _ll_and_n(mat, log_mix, flank)
+    best = jnp.argmax(ll, axis=-1)
+    llmax = jnp.max(ll, axis=-1)
+    ok = ll >= (llmax[..., None] - ci_drop)
+    G = log_mix.shape[1]
+    first = jnp.argmax(ok, axis=-1)
+    last = G - 1 - jnp.argmax(ok[..., ::-1], axis=-1)
+
+    is_best = jax.nn.one_hot(best, G, dtype=jnp.bool_)
+    ll2 = jnp.max(jnp.where(is_best, -jnp.inf, ll), axis=-1)
+    margin = llmax - ll2
+    thr = llmax[..., None] - ci_drop
+    ci_margin = jnp.min(jnp.abs(ll - thr), axis=-1)
+
+    empty = n <= 0
+    certified = ((margin > exact_tol) & (ci_margin > exact_tol)) | empty
+    out = jnp.stack(
+        [
+            jnp.where(empty, 0, best),
+            jnp.where(empty, 0, first),
+            jnp.where(empty, G - 1, last),
+            certified.astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    return out.astype(jnp.uint8)
+
+
+def _ll_and_n(mat, log_mix, flank):
+    """[B, W, G] window log-likelihood surface + [B, W] window counts."""
     # HIGH (bf16x3) keeps the alpha-argmax stable vs the f64 mirror:
     # counts are bf16-exact integers, so only the log-mix table rounds
     proj = jnp.einsum(
@@ -62,6 +101,17 @@ def occupancy_batch(
     )
     ll = _sliding_sum(proj, flank)  # [B, W, G]
     n = _sliding_sum(mat.sum(axis=1)[..., None], flank)[..., 0]  # [B, W]
+    return ll, n
+
+
+def occupancy_batch(
+    mat: jax.Array,  # [B, S, W] float32 counts (integer-valued)
+    log_mix: jax.Array,  # [S, G] float32
+    alpha_grid: jax.Array,  # [G] float32
+    flank: int,
+    ci_drop: float = 1.92,
+) -> OccOut:
+    ll, n = _ll_and_n(mat, log_mix, flank)
 
     best = jnp.argmax(ll, axis=-1)  # first occurrence on ties
     llmax = jnp.max(ll, axis=-1)
