@@ -32,7 +32,8 @@ def main() -> None:
     ap.add_argument("--breakdown", action="store_true",
                     help="print raster/upload/device timing to stderr")
     ap.add_argument(
-        "--transfer", default="packed", choices=["packed", "frags", "dense"]
+        "--transfer", default="delta",
+        choices=["delta", "packed", "frags", "dense"],
     )
     ap.add_argument(
         "--repeats", type=int, default=3,
@@ -84,13 +85,31 @@ def main() -> None:
     mids32 = mids.astype(np.int32)
     szs32 = szs.astype(np.int32)
 
-    if args.transfer == "packed":
+    if args.transfer == "delta":
+        from nucleoatac_tpu.models.data import (
+            encode_delta_fragments,
+            pack_nibble_codes,
+        )
+
+        # production wire format: 2-byte delta-coded fragments +
+        # nibble-packed sequence codes, PWM bias on device (DESIGN.md §10)
+        db = np.zeros((B, F + W // 255 + 1, 2), np.uint8)
+        for b in range(B):
+            order = np.argsort(mids[b], kind="stable")
+            encode_delta_fragments(mids[b][order], szs[b][order], db, b)
+        wp = engine.seq_codes_width()
+        nib = pack_nibble_codes(rng.integers(0, 4, size=(B, wp)).astype(np.uint8))
+
+        def one_iter():
+            return engine.full_step_delta_seq(jnp.asarray(db), jnp.asarray(nib))
+
+    elif args.transfer == "packed":
         from nucleoatac_tpu.models.data import pack_fragments
 
         packed = np.zeros((B, F), np.int32)
         for b in range(B):
             pack_fragments(mids[b], szs[b], packed, b)
-        # production wire format: packed words + uint8 sequence codes with
+        # packed words + uint8 sequence codes with
         # on-device PWM bias (engine built with pwm by _tiny_engine)
         wp = engine.seq_codes_width()
         codes = rng.integers(0, 4, size=(B, wp)).astype(np.uint8)
@@ -129,7 +148,15 @@ def main() -> None:
     dev_wps = B / t_dev
 
     if args.breakdown:
-        if args.transfer == "packed":
+        if args.transfer == "delta":
+            t_raster = 0.0
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                dev_in = (jnp.asarray(db), jnp.asarray(nib))
+                jax.block_until_ready(dev_in)
+            t_upload = (time.perf_counter() - t0) / args.iters
+            step = lambda: engine.full_step_delta_seq(*dev_in)  # noqa: E731
+        elif args.transfer == "packed":
             t_raster = 0.0
             t0 = time.perf_counter()
             for _ in range(args.iters):

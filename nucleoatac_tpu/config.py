@@ -99,12 +99,13 @@ class WindowParams:
     core: int = 1024
     batch: int = 8  # windows per device batch
     frag_cap: int = 32768  # padded fragments per batch bucket
-    # host->device transfer format: "packed" uploads ONE int32
-    # (size<<16)|mid word array per batch and rasterizes on device (the
-    # production format — least bytes, fewest transfers); "frags" uploads
-    # separate mids/sizes/valid arrays; "dense" uploads host-rasterized
-    # int16 count matrices (fallback)
-    transfer: str = "packed"
+    # host->device transfer format: "delta" uploads 2-byte (delta, size)
+    # uint8 pairs (+ nibble-packed sequence codes for the nuc stage) and
+    # decodes/rasterizes on device — the production format, least bytes
+    # on the tunnel link that bounds windows/s; "packed" uploads int32
+    # (size<<16)|mid words; "frags" uploads separate mids/sizes/valid
+    # arrays; "dense" uploads host-rasterized int16 count matrices
+    transfer: str = "delta"
 
     def halo(self, occ: OccParams, vmat: VMatParams) -> int:
         """Context needed on each side of a window core so every per-core

@@ -62,6 +62,81 @@ def pack_fragments(
 
 
 @dataclass
+class DeltaBatch:
+    """2-byte-per-fragment wire format (production; DESIGN.md §10).
+
+    Entry = `(delta, size)` uint8 pair: midpoints are delta-coded along
+    the (already midpoint-sorted) fragment axis, sizes fit uint8 because
+    the histogram support caps at 251 (< 256; config.SizesParams). Gaps
+    > 255 bp are split with `(255, 0)` skip entries; `size == 0` marks
+    skip/padding. Device decode = one cumsum (ops/rasterize.py
+    :: unpack_delta_fragments). Halves the bytes of PackedBatch on the
+    tunnel link that bounds end-to-end windows/s.
+    """
+
+    delta: np.ndarray  # [B, F, 2] uint8
+    meta: List[TileMeta]
+
+
+def encode_delta_fragments(
+    mids: np.ndarray, sizes: np.ndarray, out: np.ndarray, row: int
+) -> int:
+    """Delta-encode one window's sorted (mid, size) lists into
+    out[row, :n_entries]; returns n_entries (frags + skip entries)."""
+    n = len(mids)
+    if n == 0:
+        return 0
+    d = np.diff(mids.astype(np.int64), prepend=0)
+    nskip = d // 255
+    total = int(n + nskip.sum())
+    pos = np.cumsum(nskip + 1) - 1  # entry index of each real fragment
+    out[row, :total, 0] = 255  # skip entries: advance 255, size stays 0
+    out[row, pos, 0] = (d - nskip * 255).astype(np.uint8)
+    out[row, pos, 1] = np.minimum(sizes, 255).astype(np.uint8)
+    return total
+
+
+def pack_nibble_codes(codes: np.ndarray) -> np.ndarray:
+    """[B, wp] uint8 base codes (values 0..4) -> [B, ceil(wp/2)] bytes,
+    low nibble first (ops/pwmseq.py :: unpack_nibble_codes)."""
+    B, wp = codes.shape
+    if wp % 2:
+        codes = np.concatenate(
+            [codes, np.full((B, 1), 4, dtype=np.uint8)], axis=1
+        )
+    return (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)
+
+
+def make_delta_batches(
+    frags: BamFragments,
+    tiles: Sequence[TileMeta],
+    width: int,
+    batch: int,
+    frag_cap: int | None = None,
+) -> Iterator[DeltaBatch]:
+    """Fixed-[B, F, 2] delta-coded batches (see DeltaBatch). The entry
+    capacity adds the worst-case skip count (width // 255 + 1) on top of
+    the fragment-count bucket so encoding can never overflow."""
+    if frag_cap is None:
+        frag_cap = _bucket(
+            max_window_frags(frags, tiles, width) + width // 255 + 1
+        )
+    for i in range(0, len(tiles), batch):
+        group = list(tiles[i : i + batch])
+        db = np.zeros((batch, frag_cap, 2), dtype=np.uint8)
+        for r, t in enumerate(group):
+            m, s = frags.window(t.chrom, t.win_start, t.win_start + width)
+            need = len(m) + width // 255 + 1
+            if need > frag_cap:
+                raise ValueError(
+                    f"window at {t.chrom}:{t.win_start} needs {need} "
+                    f"entries > frag_cap {frag_cap}; raise frag_cap"
+                )
+            encode_delta_fragments(m - t.win_start, s, db, r)
+        yield DeltaBatch(db, group)
+
+
+@dataclass
 class DenseBatch:
     """Host-rasterized window batch (DESIGN.md §10; BASELINE north star
     "BAM fragment ingest -> pre-binned insertion/midpoint tensors").

@@ -37,6 +37,7 @@ from nucleoatac_tpu.ops import (
     gauss_smooth_batch,
     occupancy_batch,
     rasterize_batch,
+    rasterize_delta_batch,
     rasterize_packed_batch,
 )
 from nucleoatac_tpu.ops.xcorr import _conv_stack, build_kernels
@@ -118,8 +119,10 @@ class DeviceEngine:
             jit_kwargs = {"in_shardings": data, "out_shardings": data}
         self._raster = jax.jit(self._raster_impl, **jit_kwargs)
         self._raster_packed = jax.jit(self._raster_packed_impl, **jit_kwargs)
+        self._raster_delta = jax.jit(self._raster_delta_impl, **jit_kwargs)
         if pwm is not None:
             self._logbias_seq = jax.jit(self._logbias_seq_impl, **jit_kwargs)
+            self._logbias_nib = jax.jit(self._logbias_nib_impl, **jit_kwargs)
         self._occ_from_mat = jax.jit(self._occ_from_mat_impl, **jit_kwargs)
         self._bias = jax.jit(self._bias_impl, **jit_kwargs)
         self._convs = jax.jit(self._convs_impl, **jit_kwargs)
@@ -144,6 +147,24 @@ class DeviceEngine:
         instead of mids/sizes/valid; models/data.py :: pack_fragments)."""
         return rasterize_packed_batch(
             packed, self.cfg.sizes.lower, self.cfg.sizes.upper, self.width
+        )
+
+    def _raster_delta_impl(self, db):
+        """On-device rasterization from 2-byte delta-coded fragments —
+        the production wire format (models/data.py :: DeltaBatch; half
+        the bytes of the int32 packed words)."""
+        return rasterize_delta_batch(
+            db, self.cfg.sizes.lower, self.cfg.sizes.upper, self.width
+        )
+
+    def _logbias_nib_impl(self, packed_codes):
+        """Nibble-packed uint8 base codes (2 per byte) -> [B, W] f32 log
+        bias (ops/pwmseq.py :: pwm_bias_batch_nibble); half the sequence
+        wire bytes of the plain uint8 row."""
+        from nucleoatac_tpu.ops.pwmseq import pwm_bias_batch_nibble
+
+        return pwm_bias_batch_nibble(
+            packed_codes, self.seq_codes_width(), self.pwm_log_ratio
         )
 
     def _logbias_seq_impl(self, codes):
@@ -277,6 +298,19 @@ class DeviceEngine:
     def full_step_packed_seq(self, packed, codes):
         return self.full_step(self._raster_packed(packed), self._logbias_seq(codes))
 
+    # Delta-coded entry points (production wire format; DESIGN.md §10):
+    def occ_step_delta(self, db) -> OccTracks:
+        return self._occ_from_mat(self._raster_delta(db))
+
+    def nuc_step_delta(self, db, log_bias) -> NucTracks:
+        return self.nuc_step(self._raster_delta(db), log_bias)
+
+    def nuc_step_delta_seq(self, db, packed_codes) -> NucTracks:
+        return self.nuc_step(self._raster_delta(db), self._logbias_nib(packed_codes))
+
+    def full_step_delta_seq(self, db, packed_codes):
+        return self.full_step(self._raster_delta(db), self._logbias_nib(packed_codes))
+
     # Dense-matrix entry points (host-rasterized int16 fallback):
     # mat: [B, S_full, W] counts, cast to f32 on device
     def occ_step(self, mat) -> OccTracks:
@@ -317,6 +351,11 @@ class DeviceEngine:
     def full_impl_packed_seq(self, packed, codes):
         return self.full_impl(
             self._raster_packed_impl(packed), self._logbias_seq_impl(codes)
+        )
+
+    def full_impl_delta_seq(self, db, packed_codes):
+        return self.full_impl(
+            self._raster_delta_impl(db), self._logbias_nib_impl(packed_codes)
         )
 
     def full_impl(self, mat, log_bias):

@@ -23,8 +23,10 @@ from nucleoatac_tpu.io.tabix import TabixWriter
 from nucleoatac_tpu.models.data import (
     ChunkAssembler,
     make_batches,
+    make_delta_batches,
     make_dense_batches,
     make_packed_batches,
+    pack_nibble_codes,
     tile_chunks,
 )
 from nucleoatac_tpu.models.engine import DeviceEngine
@@ -198,7 +200,24 @@ class NucStage:
                 codes[r, dst : dst + len(seg)] = seg
             return codes
 
-        if cfg.window.transfer == "packed" and eng.pwm is not None:
+        if cfg.window.transfer == "delta" and eng.pwm is not None:
+
+            def dispatch(batch):
+                return eng.nuc_step_delta_seq(
+                    jnp.asarray(batch.delta),
+                    jnp.asarray(pack_nibble_codes(batch_seq_codes(batch))),
+                )
+
+            batches = make_delta_batches(frags, tiles, eng.width, cfg.window.batch)
+        elif cfg.window.transfer == "delta":
+
+            def dispatch(batch):
+                return eng.nuc_step_delta(
+                    jnp.asarray(batch.delta), jnp.asarray(batch_log_bias(batch))
+                )
+
+            batches = make_delta_batches(frags, tiles, eng.width, cfg.window.batch)
+        elif cfg.window.transfer == "packed" and eng.pwm is not None:
 
             def dispatch(batch):
                 return eng.nuc_step_packed_seq(

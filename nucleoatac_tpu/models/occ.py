@@ -21,6 +21,7 @@ from nucleoatac_tpu.io.bedgraph import vals_to_intervals
 from nucleoatac_tpu.io.tabix import TabixWriter
 from nucleoatac_tpu.models.data import (
     make_batches,
+    make_delta_batches,
     make_dense_batches,
     make_packed_batches,
     tile_chunks,
@@ -132,7 +133,13 @@ class OccStage:
         asm.expect(tiles)
         import jax.numpy as jnp
 
-        if cfg.window.transfer == "packed":
+        if cfg.window.transfer == "delta":
+
+            def dispatch(batch):
+                return eng.occ_step_delta(jnp.asarray(batch.delta))
+
+            batches = make_delta_batches(frags, tiles, eng.width, cfg.window.batch)
+        elif cfg.window.transfer == "packed":
 
             def dispatch(batch):
                 return eng.occ_step_packed(jnp.asarray(batch.packed))

@@ -1,6 +1,8 @@
 from nucleoatac_tpu.ops.rasterize import (
     rasterize_batch,
+    rasterize_delta_batch,
     rasterize_packed_batch,
+    unpack_delta_fragments,
     unpack_fragments,
 )
 from nucleoatac_tpu.ops.occupancy import occupancy_batch
@@ -11,7 +13,9 @@ from nucleoatac_tpu.ops.peaks import local_max_batch, greedy_select_batch
 
 __all__ = [
     "rasterize_batch",
+    "rasterize_delta_batch",
     "rasterize_packed_batch",
+    "unpack_delta_fragments",
     "unpack_fragments",
     "occupancy_batch",
     "bias_mat_batch",

@@ -18,6 +18,27 @@ import jax
 import jax.numpy as jnp
 
 
+def unpack_nibble_codes(packed: jax.Array, wp: int) -> jax.Array:
+    """[B, ceil(wp/2)] uint8 nibble-packed base codes -> [B, wp] codes.
+
+    Wire format: two 4-bit codes per byte, LOW nibble first
+    (models/data.py :: pack_nibble_codes) — halves the sequence-row
+    bytes. Codes 0..3 = ACGT; anything >= 4 (N / out-of-genome / the
+    odd-length pad nibble) one-hots to all-zero downstream.
+    """
+    lo = packed & 0xF
+    hi = packed >> 4
+    codes = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)
+    return codes[:, :wp]
+
+
+def pwm_bias_batch_nibble(
+    packed: jax.Array, wp: int, log_ratio: jax.Array
+) -> jax.Array:
+    """Nibble-packed codes -> [B, wp - L + 1] log bias (see pwm_bias_batch)."""
+    return pwm_bias_batch(unpack_nibble_codes(packed, wp), log_ratio)
+
+
 def pwm_bias_batch(codes: jax.Array, log_ratio: jax.Array) -> jax.Array:
     """codes: [B, W + L - 1] uint8; log_ratio: [4, L] f32 -> [B, W] f32.
 

@@ -33,6 +33,35 @@ def unpack_fragments(packed: jax.Array):
     return mids, sizes, sizes > 0
 
 
+def unpack_delta_fragments(db: jax.Array):
+    """Unpack [B, F, 2] uint8 delta-coded fragments (the 2-byte wire
+    format, models/data.py :: encode_delta_fragments).
+
+    Entry i is `(delta_i, size_i)`: window-relative midpoints are the
+    running sum of deltas along the fragment axis (fragments arrive
+    midpoint-sorted from ingest, so deltas are tiny — uint8 suffices,
+    with `(255, 0)` skip entries splitting the rare gap > 255 bp).
+    `size == 0` marks padding AND skip entries, so both decode to
+    invalid for free. Halves the wire bytes of the int32 packed-word
+    format — the host->device link is the pipeline bottleneck
+    (DESIGN.md §10), so this is ~2x end-to-end windows/s.
+    """
+    d = db[..., 0].astype(jnp.int32)
+    s = db[..., 1].astype(jnp.int32)
+    mids = jnp.cumsum(d, axis=1)
+    return mids, s, s > 0
+
+
+def rasterize_delta_batch(
+    db: jax.Array, lower: int, upper: int, width: int
+) -> jax.Array:
+    """[B, F, 2] uint8 delta-coded fragments -> [B, upper-lower, width]
+    f32 counts. Requires upper <= 256 (uint8 size field; encoder
+    saturates at 255, which this drops as out-of-range)."""
+    mids, sizes, valid = unpack_delta_fragments(db)
+    return rasterize_batch(mids, sizes, valid, lower, upper, width)
+
+
 def rasterize_packed_batch(
     packed: jax.Array, lower: int, upper: int, width: int
 ) -> jax.Array:

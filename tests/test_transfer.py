@@ -8,9 +8,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from nucleoatac_tpu.core.pwm import BASE_INDEX, PWM
-from nucleoatac_tpu.models.data import pack_fragments
-from nucleoatac_tpu.ops import rasterize_batch, rasterize_packed_batch, unpack_fragments
-from nucleoatac_tpu.ops.pwmseq import pwm_bias_batch
+from nucleoatac_tpu.models.data import (
+    encode_delta_fragments,
+    pack_fragments,
+    pack_nibble_codes,
+)
+from nucleoatac_tpu.ops import (
+    rasterize_batch,
+    rasterize_delta_batch,
+    rasterize_packed_batch,
+    unpack_delta_fragments,
+    unpack_fragments,
+)
+from nucleoatac_tpu.ops.pwmseq import pwm_bias_batch, unpack_nibble_codes
 
 
 def test_pack_roundtrip(rng):
@@ -47,6 +57,58 @@ def test_rasterize_packed_matches_frags(rng):
     )
     d = np.asarray(rasterize_packed_batch(jnp.asarray(packed), LOWER, UPPER, W))
     np.testing.assert_array_equal(a, d)
+
+
+def test_delta_roundtrip(rng):
+    """Delta encode -> device decode recovers sorted (mid, size) lists,
+    including gaps > 255 bp (skip entries) and empty windows."""
+    B, F, W = 4, 600, 1500
+    counts = [400, 3, 0, 120]
+    db = np.zeros((B, F, 2), np.uint8)
+    want = []
+    for b in range(B):
+        mids = np.sort(rng.integers(0, W, size=counts[b])).astype(np.int64)
+        sizes = rng.integers(1, 251, size=counts[b]).astype(np.int64)
+        n_ent = encode_delta_fragments(mids, sizes, db, b)
+        assert n_ent <= F
+        want.append((mids, sizes))
+    m, s, v = map(np.asarray, unpack_delta_fragments(jnp.asarray(db)))
+    for b in range(B):
+        mids, sizes = want[b]
+        np.testing.assert_array_equal(m[b][v[b]], mids)
+        np.testing.assert_array_equal(s[b][v[b]], sizes)
+
+
+def test_rasterize_delta_matches_frags(rng):
+    B, F, W, LOWER, UPPER = 3, 600, 1024, 0, 251
+    db = np.zeros((B, F, 2), np.uint8)
+    mats = []
+    for b in range(B):
+        n = [500, 17, 0][b]
+        mids = np.sort(rng.integers(0, W, size=n)).astype(np.int64)
+        sizes = rng.integers(1, 320, size=n).astype(np.int64)  # some > upper
+        encode_delta_fragments(mids, sizes, db, b)
+        valid = np.ones((1, n), bool)
+        mats.append(
+            np.asarray(
+                rasterize_batch(
+                    jnp.asarray(mids[None].astype(np.int32)),
+                    jnp.asarray(np.minimum(sizes, 255)[None].astype(np.int32)),
+                    jnp.asarray(valid), LOWER, UPPER, W,
+                )
+            )[0]
+        )
+    d = np.asarray(rasterize_delta_batch(jnp.asarray(db), LOWER, UPPER, W))
+    np.testing.assert_array_equal(d, np.stack(mats))
+
+
+def test_nibble_codes_roundtrip(rng):
+    for wp in (401, 400):  # odd + even widths
+        codes = rng.integers(0, 5, size=(3, wp)).astype(np.uint8)
+        packed = pack_nibble_codes(codes)
+        assert packed.shape == (3, (wp + 1) // 2)
+        out = np.asarray(unpack_nibble_codes(jnp.asarray(packed), wp))
+        np.testing.assert_array_equal(out, codes)
 
 
 def test_pwm_bias_matches_host_oracle(rng):
