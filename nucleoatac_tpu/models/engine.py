@@ -124,9 +124,11 @@ class DeviceEngine:
             self._logbias_seq = jax.jit(self._logbias_seq_impl, **jit_kwargs)
             self._logbias_nib = jax.jit(self._logbias_nib_impl, **jit_kwargs)
         self._occ_from_mat = jax.jit(self._occ_from_mat_impl, **jit_kwargs)
+        self._occ_packed = jax.jit(self._occ_packed_impl, **jit_kwargs)
         self._bias = jax.jit(self._bias_impl, **jit_kwargs)
         self._convs = jax.jit(self._convs_impl, **jit_kwargs)
         self._finish = jax.jit(self._finish_impl, **jit_kwargs)
+        self._finish5 = jax.jit(self._finish5_impl, **jit_kwargs)
         self.use_pallas = use_pallas
         if use_pallas:
             self._pallas_scores = jax.jit(self._pallas_scores_impl, **jit_kwargs)
@@ -310,6 +312,51 @@ class DeviceEngine:
 
     def full_step_delta_seq(self, db, packed_codes):
         return self.full_step(self._raster_delta(db), self._logbias_nib(packed_codes))
+
+    # Compact-download entry points (production; the device->host fetch
+    # has a ~23 ms fixed RTT on the relay, so stage drivers pull ONE
+    # array per batch instead of five/six):
+    def occ_step_delta_c(self, db):
+        """-> uint8 [B, 4, W] (argmax/lo/up grid indices + certified flag;
+        ops/occupancy.py :: occupancy_packed). Lossless: occupancy values
+        live on the discrete alpha grid, decoded with the f64 grid on
+        host (models/occ.py)."""
+        return self._occ_packed(self._raster_delta(db))
+
+    def occ_step_packed_c(self, packed):
+        return self._occ_packed(self._raster_packed(packed))
+
+    def occ_step_c(self, mat):
+        return self._occ_packed(mat)
+
+    def _nuc5(self, mat, log_bias):
+        """f32 [B, 5, W] (norm, norm_smooth, signal, lr, fuzz) stacked
+        into one download."""
+        if self.use_pallas:
+            sc = self._pallas_scores(mat, self._bias(log_bias))
+            return jnp.stack(
+                [sc.norm, self._smooth(sc.norm), sc.signal, sc.lr, sc.fuzz],
+                axis=1,
+            )
+        return self._finish5(*self._convs(mat, self._bias(log_bias)))
+
+    def nuc_step_delta_seq_c(self, db, packed_codes):
+        return self._nuc5(self._raster_delta(db), self._logbias_nib(packed_codes))
+
+    def nuc_step_delta_c(self, db, log_bias):
+        return self._nuc5(self._raster_delta(db), log_bias)
+
+    def nuc_step_packed_seq_c(self, packed, codes):
+        return self._nuc5(self._raster_packed(packed), self._logbias_seq(codes))
+
+    def nuc_step_packed_c(self, packed, log_bias):
+        return self._nuc5(self._raster_packed(packed), log_bias)
+
+    def nuc_step_frags_c(self, mids, sizes, valid, log_bias):
+        return self._nuc5(self._raster(mids, sizes, valid), log_bias)
+
+    def nuc_step_dense_c(self, mat, log_bias):
+        return self._nuc5(mat, log_bias)
 
     # Dense-matrix entry points (host-rasterized int16 fallback):
     # mat: [B, S_full, W] counts, cast to f32 on device

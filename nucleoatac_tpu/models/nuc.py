@@ -200,10 +200,14 @@ class NucStage:
                 codes[r, dst : dst + len(seg)] = seg
             return codes
 
+        # compact download: ONE stacked f32 [B, 5, W] array per batch
+        # (norm, norm_smooth, signal, lr, fuzz; engine._nuc5) — the
+        # device->host fetch pays a fixed RTT per array on the relay,
+        # so one download beats five ~5x
         if cfg.window.transfer == "delta" and eng.pwm is not None:
 
             def dispatch(batch):
-                return eng.nuc_step_delta_seq(
+                return eng.nuc_step_delta_seq_c(
                     jnp.asarray(batch.delta),
                     jnp.asarray(pack_nibble_codes(batch_seq_codes(batch))),
                 )
@@ -212,7 +216,7 @@ class NucStage:
         elif cfg.window.transfer == "delta":
 
             def dispatch(batch):
-                return eng.nuc_step_delta(
+                return eng.nuc_step_delta_c(
                     jnp.asarray(batch.delta), jnp.asarray(batch_log_bias(batch))
                 )
 
@@ -220,7 +224,7 @@ class NucStage:
         elif cfg.window.transfer == "packed" and eng.pwm is not None:
 
             def dispatch(batch):
-                return eng.nuc_step_packed_seq(
+                return eng.nuc_step_packed_seq_c(
                     jnp.asarray(batch.packed), jnp.asarray(batch_seq_codes(batch))
                 )
 
@@ -228,7 +232,7 @@ class NucStage:
         elif cfg.window.transfer == "packed":
 
             def dispatch(batch):
-                return eng.nuc_step_packed(
+                return eng.nuc_step_packed_c(
                     jnp.asarray(batch.packed), jnp.asarray(batch_log_bias(batch))
                 )
 
@@ -236,7 +240,7 @@ class NucStage:
         elif cfg.window.transfer == "frags":
 
             def dispatch(batch):
-                return eng.nuc_step_frags(
+                return eng.nuc_step_frags_c(
                     jnp.asarray(batch.mids),
                     jnp.asarray(batch.sizes),
                     jnp.asarray(batch.valid),
@@ -247,7 +251,7 @@ class NucStage:
         else:
 
             def dispatch(batch):
-                return eng.nuc_step(
+                return eng.nuc_step_dense_c(
                     jnp.asarray(batch.mats), jnp.asarray(batch_log_bias(batch))
                 )
 
@@ -256,13 +260,8 @@ class NucStage:
                 cfg.sizes.lower, cfg.sizes.upper,
             )
         for batch, out in _pipelined(batches, dispatch):
-            arrs = {
-                "norm": np.asarray(out.norm, np.float64),
-                "norm_smooth": np.asarray(out.norm_smooth, np.float64),
-                "signal": np.asarray(out.signal, np.float64),
-                "lr": np.asarray(out.lr, np.float64),
-                "fuzz": np.asarray(out.fuzz, np.float64),
-            }
+            stacked = np.asarray(out, np.float64)  # [B, 5, W]
+            arrs = {n: stacked[:, i] for i, n in enumerate(names)}
             for r, t in enumerate(batch.meta):
                 col = t.core_start - t.win_start
                 vals = {n: arrs[n][r] for n in names}

@@ -126,68 +126,61 @@ class OccStage:
 
         names = ["occ", "lower", "upper"]
         if cfg.occ.exact:
-            names += ["margin", "ci_margin"]
+            names += ["cert"]
             self._m64 = mix.log_mix_table(cfg.occ)  # float64 host tables
             self._grid64 = mix.alpha_grid(cfg.occ)
         asm = ChunkAssembler(chunks, names)
         asm.expect(tiles)
         import jax.numpy as jnp
 
+        # compact download: ONE uint8 [B, 4, W] array per batch (grid
+        # indices + certified flag; engine.occ_step_*_c) — the
+        # device->host fetch pays a fixed RTT per array on the relay, so
+        # one small download beats six f32 tracks ~6x
         if cfg.window.transfer == "delta":
 
             def dispatch(batch):
-                return eng.occ_step_delta(jnp.asarray(batch.delta))
+                return eng.occ_step_delta_c(jnp.asarray(batch.delta))
 
             batches = make_delta_batches(frags, tiles, eng.width, cfg.window.batch)
         elif cfg.window.transfer == "packed":
 
             def dispatch(batch):
-                return eng.occ_step_packed(jnp.asarray(batch.packed))
+                return eng.occ_step_packed_c(jnp.asarray(batch.packed))
 
             batches = make_packed_batches(frags, tiles, eng.width, cfg.window.batch)
         elif cfg.window.transfer == "frags":
 
             def dispatch(batch):
-                return eng.occ_step_frags(
-                    jnp.asarray(batch.mids),
-                    jnp.asarray(batch.sizes),
-                    jnp.asarray(batch.valid),
-                )
+                s = np.where(batch.valid, batch.sizes, 0).astype(np.int32)
+                m = np.where(batch.valid, batch.mids, 0).astype(np.int32)
+                return eng.occ_step_packed_c(jnp.asarray((s << 16) | m))
 
             batches = make_batches(frags, tiles, eng.width, cfg.window.batch)
         else:
 
             def dispatch(batch):
-                return eng.occ_step(jnp.asarray(batch.mats))  # int16
+                return eng.occ_step_c(jnp.asarray(batch.mats))  # int16
 
             batches = make_dense_batches(
                 frags, tiles, eng.width, cfg.window.batch,
                 cfg.sizes.lower, cfg.sizes.upper,
             )
-        # double-buffered: batch i+1 runs on device while host assembles i
-        # values live on the discrete alpha grid; snap the downloaded f32
-        # back to the f64 grid values (linspace(0, 1, G)) so outputs carry
-        # f64 grid points, not their f32 roundings
-        G = cfg.occ.grid_size
+        # double-buffered: batch i+1 runs on device while host assembles i.
+        # Occupancy values live on the discrete alpha grid; the wire
+        # carries grid INDICES, decoded here with the f64 grid — lossless
         grid64 = mix.alpha_grid(cfg.occ)
 
-        def snap(x):
-            v = np.asarray(x, np.float64)
-            return grid64[np.clip(np.rint(v * (G - 1)).astype(np.int64), 0, G - 1)]
-
         for batch, out in _pipelined(batches, dispatch):
-            occ_b = snap(out.occ)
-            lo_b = snap(out.lower)
-            up_b = snap(out.upper)
-            if cfg.occ.exact:
-                mg_b = np.asarray(out.margin, np.float64)
-                cm_b = np.asarray(out.ci_margin, np.float64)
+            idx = np.asarray(out, np.int64)  # [B, 4, W]
+            occ_b = grid64[idx[:, 0]]
+            lo_b = grid64[idx[:, 1]]
+            up_b = grid64[idx[:, 2]]
             for r, t in enumerate(batch.meta):
                 col = t.core_start - t.win_start
                 vals = {"occ": occ_b[r], "lower": lo_b[r], "upper": up_b[r]}
                 if cfg.occ.exact:
-                    vals["margin"] = mg_b[r]
-                    vals["ci_margin"] = cm_b[r]
+                    vals["cert"] = idx[r, 3].astype(np.float64)
                 for cid, chunk, tracks in asm.add(t, vals, col):
                     if cfg.occ.exact:
                         self._exact_refinish(chunk, tracks, frags)
@@ -204,16 +197,16 @@ class OccStage:
         """Re-finish uncertified positions in float64 (DESIGN.md §4).
 
         Device f32 LL surfaces select the same discrete grid values as
-        the f64 mirror except at near-ties; `margin`/`ci_margin` bound
-        the distance to the nearest tie, so positions clearing
-        exact_tol are provably f64-equal and only the rest (rare) are
-        recomputed here from raw fragment windows — integer counts, so
-        the f64 finishing step is deterministic and mirror-identical."""
+        the f64 mirror except at near-ties; the device bounds the
+        distance to the nearest tie and sets the `cert` flag when both
+        the argmax and CI-boundary margins clear exact_tol
+        (ops/occupancy.py :: occupancy_packed), so certified positions
+        are provably f64-equal and only the rest (rare) are recomputed
+        here from raw fragment windows — integer counts, so the f64
+        finishing step is deterministic and mirror-identical."""
         cfg = self.cfg
-        tol = cfg.occ.exact_tol
-        mg = tracks.pop("margin")
-        cm = tracks.pop("ci_margin")
-        flagged = np.flatnonzero((mg < tol) | (cm < tol))
+        cert = tracks.pop("cert")
+        flagged = np.flatnonzero(cert < 0.5)
         if len(flagged) == 0:
             return
         p0 = cfg.occ
