@@ -183,3 +183,51 @@ def test_engine_seq_path_matches_host_bias_path(rng):
     o2 = eng.full_step_packed_seq(jnp.asarray(packed), jnp.asarray(codes))
     for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(o2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def _tiny(rng):
+    from __graft_entry__ import _tiny_engine
+
+    cfg, eng = _tiny_engine()
+    B, F = 2, 256
+    W = eng.width
+    mids = np.sort(rng.integers(0, W, size=(B, F)), axis=1).astype(np.int64)
+    sizes = rng.integers(20, 250, size=(B, F)).astype(np.int64)
+    db = np.zeros((B, F + W // 255 + 1, 2), np.uint8)
+    for b in range(B):
+        encode_delta_fragments(mids[b], sizes[b], db, b)
+    wp = eng.seq_codes_width()
+    codes = rng.integers(0, 4, size=(B, wp)).astype(np.uint8)
+    return cfg, eng, db, codes
+
+
+def test_occ_compact_matches_full_tracks(rng):
+    """uint8 grid-index download decodes to the same occ/lower/upper as
+    the six-track OccTracks path."""
+    cfg, eng, db, _ = _tiny(rng)
+    full = eng.occ_step_delta(jnp.asarray(db))
+    comp = np.asarray(eng.occ_step_delta_c(jnp.asarray(db)), np.int64)
+    G = cfg.occ.grid_size
+    grid = np.linspace(0.0, 1.0, G)
+    np.testing.assert_allclose(grid[comp[:, 0]], np.asarray(full.occ), atol=1e-6)
+    np.testing.assert_allclose(grid[comp[:, 1]], np.asarray(full.lower), atol=1e-6)
+    np.testing.assert_allclose(grid[comp[:, 2]], np.asarray(full.upper), atol=1e-6)
+    # certified flag agrees with the margin tracks (strict > on device)
+    tol = cfg.occ.exact_tol
+    mg = np.asarray(full.margin)
+    cm = np.asarray(full.ci_margin)
+    want = ((mg > tol) & (cm > tol)) | (np.asarray(full.n) <= 0)
+    np.testing.assert_array_equal(comp[:, 3].astype(bool), want)
+
+
+def test_nuc_compact_matches_tracks(rng):
+    """Stacked [B, 5, W] download equals the five NucTracks arrays."""
+    cfg, eng, db, codes = _tiny(rng)
+    nib = jnp.asarray(pack_nibble_codes(codes))
+    full = eng.nuc_step_delta_seq(jnp.asarray(db), nib)
+    comp = np.asarray(eng.nuc_step_delta_seq_c(jnp.asarray(db), nib))
+    for i, name in enumerate(["norm", "norm_smooth", "signal", "lr", "fuzz"]):
+        np.testing.assert_allclose(
+            comp[:, i], np.asarray(getattr(full, name)), atol=1e-5,
+            err_msg=name,
+        )
