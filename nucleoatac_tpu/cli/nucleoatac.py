@@ -13,7 +13,14 @@ import sys
 
 import numpy as np
 
-from nucleoatac_tpu.config import NFRParams, NucParams, OccParams, RunConfig, SizesParams
+from nucleoatac_tpu.config import (
+    NFRParams,
+    NucParams,
+    OccParams,
+    RunConfig,
+    SizesParams,
+    WindowParams,
+)
 
 
 def _common(p: argparse.ArgumentParser, fasta_required: bool = False) -> None:
@@ -40,6 +47,15 @@ def _tune(p: argparse.ArgumentParser) -> None:
     p.add_argument("--min_nfr_len", type=int, default=NFRParams.min_nfr_len)
     p.add_argument("--max_nfr_len", type=int, default=NFRParams.max_nfr_len)
     p.add_argument("--not_atac", action="store_true", help="skip +4/-5 offsets")
+    p.add_argument(
+        "--batch", type=int, default=WindowParams.batch,
+        help="windows per device batch (bigger amortizes transfer RTT)",
+    )
+    p.add_argument(
+        "--transfer", default=WindowParams.transfer,
+        choices=["delta", "packed", "frags", "dense"],
+        help="host->device wire format (DESIGN.md §10)",
+    )
 
 
 def build_config(args: argparse.Namespace) -> RunConfig:
@@ -47,6 +63,11 @@ def build_config(args: argparse.Namespace) -> RunConfig:
     return dataclasses.replace(
         cfg,
         ingest=dataclasses.replace(cfg.ingest, atac=not getattr(args, "not_atac", False)),
+        window=dataclasses.replace(
+            cfg.window,
+            batch=getattr(args, "batch", cfg.window.batch),
+            transfer=getattr(args, "transfer", cfg.window.transfer),
+        ),
         sizes=dataclasses.replace(cfg.sizes, lower=args.lower, upper=args.upper),
         occ=dataclasses.replace(
             cfg.occ, flank=args.flank, min_occ=args.min_occ, occ_sep=args.occ_sep

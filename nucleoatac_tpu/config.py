@@ -97,7 +97,10 @@ class WindowParams:
     """Fixed-shape window tiling (DESIGN.md §10)."""
 
     core: int = 1024
-    batch: int = 8  # windows per device batch
+    # windows per device batch: each batch costs ~3 fixed-RTT transfers
+    # on the remote relay (upload, codes, download), so bigger batches
+    # amortize the link; 64 divides any power-of-two device mesh
+    batch: int = 64
     frag_cap: int = 32768  # padded fragments per batch bucket
     # host->device transfer format: "delta" uploads 2-byte (delta, size)
     # uint8 pairs (+ nibble-packed sequence codes for the nuc stage) and
