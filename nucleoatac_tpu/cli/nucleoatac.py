@@ -60,13 +60,25 @@ def _tune(p: argparse.ArgumentParser) -> None:
 
 def build_config(args: argparse.Namespace) -> RunConfig:
     cfg = RunConfig()
+    transfer = getattr(args, "transfer", cfg.window.transfer)
+    upper = getattr(args, "upper", cfg.sizes.upper)
+    if transfer == "delta" and upper > 255:
+        import sys
+
+        print(
+            f"WARNING: --upper {upper} > 255 is incompatible with the "
+            "'delta' wire format (uint8 size field); falling back to "
+            "'packed'",
+            file=sys.stderr,
+        )
+        transfer = "packed"
     return dataclasses.replace(
         cfg,
         ingest=dataclasses.replace(cfg.ingest, atac=not getattr(args, "not_atac", False)),
         window=dataclasses.replace(
             cfg.window,
             batch=getattr(args, "batch", cfg.window.batch),
-            transfer=getattr(args, "transfer", cfg.window.transfer),
+            transfer=transfer,
         ),
         sizes=dataclasses.replace(cfg.sizes, lower=args.lower, upper=args.upper),
         occ=dataclasses.replace(

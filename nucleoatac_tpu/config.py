@@ -136,3 +136,21 @@ class RunConfig:
     nuc: NucParams = dataclasses.field(default_factory=NucParams)
     nfr: NFRParams = dataclasses.field(default_factory=NFRParams)
     window: WindowParams = dataclasses.field(default_factory=WindowParams)
+
+    def __post_init__(self) -> None:
+        # The delta wire format carries sizes in one uint8 (saturating at
+        # 255), so any size >= 255 would collapse into the 255 bin and be
+        # miscounted when upper > 255. Refuse rather than silently corrupt;
+        # the CLI falls back to "packed" with a warning (cli/nucleoatac.py).
+        if self.window.transfer == "delta" and self.sizes.upper > 255:
+            raise ValueError(
+                f"sizes.upper={self.sizes.upper} > 255 is incompatible with "
+                "the 'delta' wire format (uint8 size field saturates at "
+                "255); use transfer='packed' or lower --upper"
+            )
+        # occupancy_packed ships grid indices as uint8
+        if self.occ.grid_size > 256:
+            raise ValueError(
+                f"occ.grid_size={self.occ.grid_size} > 256 overflows the "
+                "uint8 grid-index wire format (ops/occupancy.py)"
+            )

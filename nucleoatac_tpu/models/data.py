@@ -82,11 +82,20 @@ def encode_delta_fragments(
     mids: np.ndarray, sizes: np.ndarray, out: np.ndarray, row: int
 ) -> int:
     """Delta-encode one window's sorted (mid, size) lists into
-    out[row, :n_entries]; returns n_entries (frags + skip entries)."""
+    out[row, :n_entries]; returns n_entries (frags + skip entries).
+
+    Preconditions (violations raise): ``mids`` sorted ascending with
+    ``mids[0] >= 0``, and ``out[row]`` zeroed beyond the written entries
+    (skip/padding entries rely on the buffer's zero size bytes; all
+    callers allocate a fresh ``np.zeros`` buffer per batch)."""
     n = len(mids)
     if n == 0:
         return 0
     d = np.diff(mids.astype(np.int64), prepend=0)
+    if d.min() < 0:
+        raise ValueError(
+            "encode_delta_fragments requires midpoint-sorted mids >= 0"
+        )
     nskip = d // 255
     total = int(n + nskip.sum())
     pos = np.cumsum(nskip + 1) - 1  # entry index of each real fragment

@@ -63,6 +63,11 @@ def occupancy_packed(
     replaces the f32->grid snapping step. One uint8 array per batch costs
     ~33 ms on the relay vs ~210 ms for the six separate f32 downloads of
     :func:`occupancy_batch` (23 ms fixed RTT per fetch, measured)."""
+    if log_mix.shape[1] > 256:
+        raise ValueError(
+            f"grid size {log_mix.shape[1]} > 256 overflows the uint8 "
+            "grid-index wire format; use occupancy_batch instead"
+        )
     ll, n = _ll_and_n(mat, log_mix, flank)
     best = jnp.argmax(ll, axis=-1)
     llmax = jnp.max(ll, axis=-1)

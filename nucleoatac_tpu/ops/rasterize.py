@@ -56,8 +56,9 @@ def rasterize_delta_batch(
     db: jax.Array, lower: int, upper: int, width: int
 ) -> jax.Array:
     """[B, F, 2] uint8 delta-coded fragments -> [B, upper-lower, width]
-    f32 counts. Requires upper <= 256 (uint8 size field; encoder
-    saturates at 255, which this drops as out-of-range)."""
+    f32 counts. Requires upper <= 255 (uint8 size field; the encoder
+    saturates sizes >= 255 to 255, which this drops as out-of-range only
+    while upper <= 255 — enforced in config.RunConfig.__post_init__)."""
     mids, sizes, valid = unpack_delta_fragments(db)
     return rasterize_batch(mids, sizes, valid, lower, upper, width)
 

@@ -231,3 +231,44 @@ def test_nuc_compact_matches_tracks(rng):
             comp[:, i], np.asarray(getattr(full, name)), atol=1e-5,
             err_msg=name,
         )
+
+
+def test_delta_guards():
+    """ADVICE round-1 fixes: wire-format preconditions are enforced."""
+    import dataclasses
+
+    import pytest
+
+    from nucleoatac_tpu.config import (
+        OccParams,
+        RunConfig,
+        SizesParams,
+        WindowParams,
+    )
+
+    # delta + sizes.upper > 255 would miscount saturated fragments
+    with pytest.raises(ValueError, match="delta"):
+        RunConfig(sizes=SizesParams(upper=300))
+    # packed is fine at the same upper
+    RunConfig(
+        sizes=SizesParams(upper=300),
+        window=WindowParams(transfer="packed"),
+    )
+    # grid indices ship as uint8
+    with pytest.raises(ValueError, match="grid"):
+        RunConfig(occ=OccParams(grid_size=300))
+    # CLI falls back to packed instead of raising
+    from nucleoatac_tpu.cli.nucleoatac import build_config, nucleoatac_parser
+
+    args = nucleoatac_parser().parse_args(
+        ["occ", "--bam", "x", "--bed", "y", "--out", "z", "--upper", "300"]
+    )
+    cfg = build_config(args)
+    assert cfg.window.transfer == "packed" and cfg.sizes.upper == 300
+
+    # unsorted mids are rejected by the delta encoder
+    out = np.zeros((1, 16, 2), np.uint8)
+    with pytest.raises(ValueError, match="sorted"):
+        encode_delta_fragments(
+            np.array([10, 5]), np.array([100, 100]), out, 0
+        )
