@@ -80,6 +80,18 @@ class NucParams:
     min_lr: float = 0.0
     v_floor: float = 1e-5
     var_floor: float = 1e-12
+    # f64-exact finishing (models/nuc_exact.py, DESIGN.md §12): printed
+    # per-dyad stats and the candidate mask are recomputed in float64 on
+    # host; selection decisions whose f32 score margins fall below
+    # exact_tol trigger a full-f64 chunk recompute. exact_tol bounds
+    # |f32 device track - f64 mirror track| (measured ~2e-4 at HIGH
+    # matmul precision; 10x safety margin).
+    exact: bool = True
+    exact_tol: float = 2e-3
+    # strict: additionally refinish the smoothed-score column of every
+    # printed row in f64 (costly on few host cores; the column is f32
+    # otherwise, everything else in the row is f64 either way)
+    strict: bool = False
 
 
 @dataclass(frozen=True)

@@ -95,6 +95,7 @@ class DeviceEngine:
         h = fragmentsizes.get(cfg.vmat.lower, cfg.vmat.upper).astype(np.float64)
         tot = h.sum()
         q = h / tot if tot > 0 else np.full_like(h, 1.0 / len(h))
+        self.size_probs64 = q  # float64, for the host f64 refinisher
         self.size_probs = np.asarray(q, np.float32)
         self.smooth_kernel = np.asarray(gauss_kernel(cfg.nuc.smooth_sd))
         # optional on-device Tn5 bias from sequence codes (ops/pwmseq.py)
@@ -104,6 +105,9 @@ class DeviceEngine:
         # core span inside the window for bias-row normalization
         self.core_lo = self.halo
         self.core_hi = self.width - self.halo
+        # true core (output) span: [halo, halo + core); columns beyond it
+        # are halo/dead-padding and never reach output tracks
+        self.core = cfg.window.core
 
         self.mesh = mesh
         jit_kwargs: Dict = {}
@@ -125,6 +129,8 @@ class DeviceEngine:
             self._logbias_nib = jax.jit(self._logbias_nib_impl, **jit_kwargs)
         self._occ_from_mat = jax.jit(self._occ_from_mat_impl, **jit_kwargs)
         self._occ_packed = jax.jit(self._occ_packed_impl, **jit_kwargs)
+        self._occ_packed3 = jax.jit(self._occ_packed3_impl, **jit_kwargs)
+        self._finish2 = jax.jit(self._finish2_impl, **jit_kwargs)
         self._bias = jax.jit(self._bias_impl, **jit_kwargs)
         self._convs = jax.jit(self._convs_impl, **jit_kwargs)
         self._finish = jax.jit(self._finish_impl, **jit_kwargs)
@@ -207,6 +213,29 @@ class DeviceEngine:
         signal, lr, fuzz) — ONE download per batch instead of five."""
         t = self._finish_impl(fo, bo)
         return jnp.stack([t.norm, t.norm_smooth, t.signal, t.lr, t.fuzz], axis=1)
+
+    def _occ_packed3_impl(self, mat):
+        """Wire v2 occ finisher: uint8 [B, 3, core] grid indices with the
+        certified flag in bit 7 of channel 0 (ops/occupancy.py ::
+        occupancy_packed3) — core-only columns, halving download bytes vs
+        occupancy_packed (the download link bounds windows/s: ~35 MB/s on
+        the relay, measured)."""
+        from nucleoatac_tpu.ops.occupancy import occupancy_packed3
+
+        return occupancy_packed3(
+            mat.astype(jnp.float32), self.log_mix, self.cfg.occ.flank,
+            self.core_lo, self.core, self.cfg.occ.ci_drop,
+            self.cfg.occ.exact_tol,
+        )
+
+    def _finish2_impl(self, fo, bo):
+        """Wire v2 nuc finisher: f32 [B, 2, core] (norm, norm_smooth),
+        core-only. The per-dyad stats (z, lr, signal, fuzz) are refinished
+        in float64 on host at candidate positions (models/nuc_exact.py),
+        so their per-bp tracks never need downloading."""
+        t = self._finish_impl(fo, bo)
+        out = jnp.stack([t.norm, t.norm_smooth], axis=1)
+        return out[:, :, self.core_lo : self.core_lo + self.core]
 
     def _bias_impl(self, log_bias):
         return bias_mat_batch(
@@ -339,6 +368,43 @@ class DeviceEngine:
                 axis=1,
             )
         return self._finish5(*self._convs(mat, self._bias(log_bias)))
+
+    def _nuc2(self, mat, log_bias):
+        """Wire v2: f32 [B, 2, core] (norm, norm_smooth) — the only per-bp
+        nuc tracks that reach output files; stats refinish on host."""
+        if self.use_pallas:
+            sc = self._pallas_scores(mat, self._bias(log_bias))
+            out = jnp.stack([sc.norm, self._smooth(sc.norm)], axis=1)
+            return out[:, :, self.core_lo : self.core_lo + self.core]
+        return self._finish2(*self._convs(mat, self._bias(log_bias)))
+
+    # Wire-v2 entry points (core-only compact downloads):
+    def occ_step_delta_c3(self, db):
+        return self._occ_packed3(self._raster_delta(db))
+
+    def occ_step_packed_c3(self, packed):
+        return self._occ_packed3(self._raster_packed(packed))
+
+    def occ_step_c3(self, mat):
+        return self._occ_packed3(mat)
+
+    def nuc_step_delta_seq_c2(self, db, packed_codes):
+        return self._nuc2(self._raster_delta(db), self._logbias_nib(packed_codes))
+
+    def nuc_step_delta_c2(self, db, log_bias):
+        return self._nuc2(self._raster_delta(db), log_bias)
+
+    def nuc_step_packed_seq_c2(self, packed, codes):
+        return self._nuc2(self._raster_packed(packed), self._logbias_seq(codes))
+
+    def nuc_step_packed_c2(self, packed, log_bias):
+        return self._nuc2(self._raster_packed(packed), log_bias)
+
+    def nuc_step_frags_c2(self, mids, sizes, valid, log_bias):
+        return self._nuc2(self._raster(mids, sizes, valid), log_bias)
+
+    def nuc_step_dense_c2(self, mat, log_bias):
+        return self._nuc2(mat, log_bias)
 
     def nuc_step_delta_seq_c(self, db, packed_codes):
         return self._nuc5(self._raster_delta(db), self._logbias_nib(packed_codes))

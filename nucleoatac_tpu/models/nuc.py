@@ -61,6 +61,9 @@ class NucStageResult:
     redundant: List[NucCall] = field(default_factory=list)
     nuc_dist: np.ndarray = field(default_factory=lambda: np.zeros(1001, np.int64))
     tracks: Dict[int, Dict[str, np.ndarray]] = field(default_factory=dict)
+    # chunks whose f32 selection margins fell below exact_tol and were
+    # recomputed fully in float64 (models/nuc.py :: _select_fallback)
+    n_fallback_chunks: int = 0
 
 
 def chunk_seq_codes(
@@ -120,6 +123,13 @@ class NucStage:
         self.engine = engine
         self.pwm = pwm or PWM.default()
         self.fasta = fasta
+        self.refinisher = None
+        if cfg.nuc.exact:
+            from nucleoatac_tpu.models.nuc_exact import NucRefinisher
+
+            self.refinisher = NucRefinisher(
+                cfg, engine.vmat, engine.size_probs64, self.pwm, fasta
+            )
 
     def run(
         self,
@@ -145,10 +155,25 @@ class NucStage:
             }
 
         tiles = tile_chunks(chunks, cfg.window, cfg.occ, cfg.vmat)
-        names = ["norm", "norm_smooth", "signal", "lr", "fuzz"]
+        exact = cfg.nuc.exact
+        # exact mode downloads only the per-bp tracks that reach output
+        # files (norm, norm_smooth, core columns, engine *_c2); the
+        # per-dyad stats are refinished in float64 on host
+        # (models/nuc_exact.py), halving download bytes on the link that
+        # bounds windows/s
+        names = (
+            ["norm", "norm_smooth"]
+            if exact
+            else ["norm", "norm_smooth", "signal", "lr", "fuzz"]
+        )
         asm = ChunkAssembler(chunks, names)
         asm.expect(tiles)
         halo = eng.halo
+        # per-chunk tile lists for position -> window mapping in refinish
+        self._tiles_by_cid: Dict[int, List] = {}
+        for t in tiles:
+            self._tiles_by_cid.setdefault(t.chunk_id, []).append(t)
+        self._frags = frags
 
         # per-chunk bias caches (chunk extended by halo on both sides)
         bias_cache: Dict[int, np.ndarray] = {}
@@ -200,47 +225,52 @@ class NucStage:
                 codes[r, dst : dst + len(seg)] = seg
             return codes
 
-        # compact download: ONE stacked f32 [B, 5, W] array per batch
-        # (norm, norm_smooth, signal, lr, fuzz; engine._nuc5) — the
-        # device->host fetch pays a fixed RTT per array on the relay,
-        # so one download beats five ~5x
+        # compact download: ONE stacked f32 array per batch — [B, 2, core]
+        # in exact mode (engine._nuc2) or [B, 5, W] legacy (engine._nuc5).
+        # The download link bounds windows/s (~35 MB/s on the relay).
+        sfx = "_c2" if exact else "_c"
         if cfg.window.transfer == "delta" and eng.pwm is not None:
+            step = getattr(eng, "nuc_step_delta_seq" + sfx)
 
             def dispatch(batch):
-                return eng.nuc_step_delta_seq_c(
+                return step(
                     jnp.asarray(batch.delta),
                     jnp.asarray(pack_nibble_codes(batch_seq_codes(batch))),
                 )
 
             batches = make_delta_batches(frags, tiles, eng.width, cfg.window.batch)
         elif cfg.window.transfer == "delta":
+            step = getattr(eng, "nuc_step_delta" + sfx)
 
             def dispatch(batch):
-                return eng.nuc_step_delta_c(
+                return step(
                     jnp.asarray(batch.delta), jnp.asarray(batch_log_bias(batch))
                 )
 
             batches = make_delta_batches(frags, tiles, eng.width, cfg.window.batch)
         elif cfg.window.transfer == "packed" and eng.pwm is not None:
+            step = getattr(eng, "nuc_step_packed_seq" + sfx)
 
             def dispatch(batch):
-                return eng.nuc_step_packed_seq_c(
+                return step(
                     jnp.asarray(batch.packed), jnp.asarray(batch_seq_codes(batch))
                 )
 
             batches = make_packed_batches(frags, tiles, eng.width, cfg.window.batch)
         elif cfg.window.transfer == "packed":
+            step = getattr(eng, "nuc_step_packed" + sfx)
 
             def dispatch(batch):
-                return eng.nuc_step_packed_c(
+                return step(
                     jnp.asarray(batch.packed), jnp.asarray(batch_log_bias(batch))
                 )
 
             batches = make_packed_batches(frags, tiles, eng.width, cfg.window.batch)
         elif cfg.window.transfer == "frags":
+            step = getattr(eng, "nuc_step_frags" + sfx)
 
             def dispatch(batch):
-                return eng.nuc_step_frags_c(
+                return step(
                     jnp.asarray(batch.mids),
                     jnp.asarray(batch.sizes),
                     jnp.asarray(batch.valid),
@@ -249,9 +279,10 @@ class NucStage:
 
             batches = make_batches(frags, tiles, eng.width, cfg.window.batch)
         else:
+            step = getattr(eng, "nuc_step_dense" + sfx)
 
             def dispatch(batch):
-                return eng.nuc_step_dense_c(
+                return step(
                     jnp.asarray(batch.mats), jnp.asarray(batch_log_bias(batch))
                 )
 
@@ -260,10 +291,11 @@ class NucStage:
                 cfg.sizes.lower, cfg.sizes.upper,
             )
         for batch, out in _pipelined(batches, dispatch):
-            stacked = np.asarray(out, np.float64)  # [B, 5, W]
+            stacked = np.asarray(out, np.float64)  # [B, 2, core] or [B, 5, W]
             arrs = {n: stacked[:, i] for i, n in enumerate(names)}
             for r, t in enumerate(batch.meta):
-                col = t.core_start - t.win_start
+                # exact mode ships core-only columns (col 0 == core_start)
+                col = 0 if exact else t.core_start - t.win_start
                 vals = {n: arrs[n][r] for n in names}
                 for cid, chunk, tracks in asm.add(t, vals, col):
                     bias_cache.pop(cid, None)  # all tiles dispatched; free it
@@ -276,25 +308,12 @@ class NucStage:
         return res
 
     def _finish_chunk(self, cid, chunk, tracks, occ_lookup, writers, res) -> None:
-        cfg = self.cfg
-        p = cfg.nuc
-        norm = tracks["norm"]
-        smooth = tracks["norm_smooth"]
-        mask = (norm >= p.min_z) & (tracks["lr"] >= p.min_lr)
-        cand = local_max_candidates_fast(smooth, cfg.nuc.nuc_sep // 2, mask)
-        cand_idx = np.flatnonzero(cand)
-        sel = greedy_select_fast(smooth, cand, p.nuc_sep)
-
-        def mk(i: int) -> NucCall:
-            occ, lo, up = occ_lookup(cid, chunk, chunk.start + i)
-            return NucCall(
-                chunk.chrom, chunk.start + i, float(norm[i]), occ, lo, up,
-                float(tracks["lr"][i]), float(smooth[i]),
-                float(tracks["signal"][i]), float(tracks["fuzz"][i]),
+        if self.refinisher is not None:
+            calls, red, sel = self._select_exact(
+                cid, chunk, tracks, occ_lookup, res
             )
-
-        calls = [mk(i) for i in sel]
-        red = [mk(i) for i in cand_idx]
+        else:
+            calls, red, sel = self._select_legacy(cid, chunk, tracks, occ_lookup)
         res.calls.extend(calls)
         res.redundant.extend(red)
         # adjacent-dyad spacing histogram (reference nuc_dist diagnostics)
@@ -311,3 +330,188 @@ class NucStage:
                 writers["pos"].add(c.chrom, c.pos, c.pos + 1, c.bed_row())
             for c in red:
                 writers["red"].add(c.chrom, c.pos, c.pos + 1, c.bed_row())
+
+    def _select_legacy(self, cid, chunk, tracks, occ_lookup):
+        """Pre-exact flow: per-bp f32 stat tracks from the device
+        (cfg.nuc.exact = False)."""
+        p = self.cfg.nuc
+        norm = tracks["norm"]
+        smooth = tracks["norm_smooth"]
+        mask = (norm >= p.min_z) & (tracks["lr"] >= p.min_lr)
+        cand = local_max_candidates_fast(smooth, p.nuc_sep // 2, mask)
+        cand_idx = np.flatnonzero(cand)
+        sel = greedy_select_fast(smooth, cand, p.nuc_sep)
+
+        def mk(i: int) -> NucCall:
+            occ, lo, up = occ_lookup(cid, chunk, chunk.start + i)
+            return NucCall(
+                chunk.chrom, chunk.start + i, float(norm[i]), occ, lo, up,
+                float(tracks["lr"][i]), float(smooth[i]),
+                float(tracks["signal"][i]), float(tracks["fuzz"][i]),
+            )
+
+        return [mk(i) for i in sel], [mk(i) for i in cand_idx], sel
+
+    # ---- exact mode (models/nuc_exact.py; VERDICT r1 item 3) -------------
+    def _bias64_chunk(self, chunk) -> np.ndarray:
+        """Float64 log-bias covering every window of the chunk,
+        starting at chunk.start - halo (same sequence span the device
+        seq-codes path sees)."""
+        halo = self.engine.halo
+        return chunk_log_bias(
+            self.fasta, self.pwm, chunk.chrom,
+            chunk.start - halo, chunk.end + halo + self.engine.width,
+        )
+
+    def _select_exact(self, cid, chunk, tracks, occ_lookup, res):
+        cfg = self.cfg
+        p = cfg.nuc
+        eng = self.engine
+        refin = self.refinisher
+        tiles = self._tiles_by_cid.get(cid, [])
+        norm32 = tracks["norm"]
+        smooth32 = tracks["norm_smooth"]
+        tol = p.exact_tol
+        bias64 = None  # built lazily
+        W = eng.width
+
+        def bias_row(t):
+            nonlocal bias64
+            if bias64 is None:
+                bias64 = self._bias64_chunk(chunk)
+            a = t.win_start - (chunk.start - eng.halo)
+            return bias64[a : a + W]
+
+        # 1. local maxima of the f32 smoothed track (mask applied after —
+        #    identical to mask-first for this candidate semantics)
+        hw = p.nuc_sep // 2
+        lm = local_max_candidates_fast(smooth32, hw)
+        lm_idx = np.flatnonzero(lm)
+
+        # 2. float64 stats at every local max -> exact candidate mask
+        st = self._refinish_at(chunk, tiles, bias_row, lm_idx)
+        mask64 = (st["norm"] >= p.min_z) & (st["lr"] >= p.min_lr)
+        cand_idx = lm_idx[mask64]
+        cand = np.zeros(len(smooth32), bool)
+        cand[cand_idx] = True
+
+        # 3. certify the f32 selection decisions by margin; any sub-margin
+        #    decision -> full float64 recompute of the chunk
+        ambiguous = self._tie_guard(norm32, smooth32, cand_idx, hw, tol)
+        if ambiguous:
+            res.n_fallback_chunks += 1
+            return self._select_fallback(cid, chunk, tiles, occ_lookup, bias_row)
+
+        sel = greedy_select_fast(smooth32, cand, p.nuc_sep)
+        sel_set = {int(i) for i in sel}
+        # printed rows: stats are f64; the smoothed-score column is f64 in
+        # strict mode, else the (certified-selection) f32 device value
+        if p.strict:
+            st_rows = self._refinish_at(
+                chunk, tiles, bias_row, cand_idx, want_smooth=True
+            )
+            smooth_col = st_rows["smooth"]
+        else:
+            st_rows = {k: st[k][mask64] for k in st}
+            smooth_col = smooth32[cand_idx]
+
+        def mk(j: int) -> NucCall:
+            i = int(cand_idx[j])
+            occ, lo, up = occ_lookup(cid, chunk, chunk.start + i)
+            return NucCall(
+                chunk.chrom, chunk.start + i, float(st_rows["norm"][j]),
+                occ, lo, up, float(st_rows["lr"][j]), float(smooth_col[j]),
+                float(st_rows["signal"][j]), float(st_rows["fuzz"][j]),
+            )
+
+        red = [mk(j) for j in range(len(cand_idx))]
+        calls = [red[j] for j in range(len(cand_idx)) if int(cand_idx[j]) in sel_set]
+        return calls, red, sel
+
+    def _tie_guard(self, norm32, smooth32, cand_idx, hw, tol) -> bool:
+        """True if any f32 selection decision sits within ``tol`` of
+        flipping (near-tie) — local-max margins of plausible candidates,
+        or greedy score gaps between actual candidates."""
+        from nucleoatac_tpu.utils.numerics import local_max_margin_fast
+
+        p = self.cfg.nuc
+        margin = local_max_margin_fast(smooth32, hw)
+        plausible = norm32 >= p.min_z - tol
+        if np.any(plausible & (np.abs(margin) < tol)):
+            return True
+        if len(cand_idx) >= 2:
+            sc = np.sort(smooth32[cand_idx])
+            if np.any(np.diff(sc) < tol):
+                return True
+        return False
+
+    def _select_fallback(self, cid, chunk, tiles, occ_lookup, bias_row):
+        """Full float64 recompute of the chunk's norm/smooth tracks and
+        selection (rare: only when an f32 margin fell below exact_tol)."""
+        cfg = self.cfg
+        p = cfg.nuc
+        eng = self.engine
+        refin = self.refinisher
+        W = eng.width
+        L = len(chunk)
+        norm64 = np.zeros(L)
+        smooth64 = np.zeros(L)
+        for t in tiles:
+            m, s = self._frags.window(chunk.chrom, t.win_start, t.win_start + W)
+            tn, ts = refin.full_tracks(m - t.win_start, s, bias_row(t))
+            off = t.core_start - chunk.start
+            n_core = t.core_end - t.core_start
+            c0 = t.core_start - t.win_start
+            norm64[off : off + n_core] = tn[c0 : c0 + n_core]
+            smooth64[off : off + n_core] = ts[c0 : c0 + n_core]
+        hw = p.nuc_sep // 2
+        lm = local_max_candidates_fast(smooth64, hw)
+        lm_idx = np.flatnonzero(lm)
+        # f64 stats at maxima (lr etc. still need the refinisher)
+        st = self._refinish_at(chunk, tiles, bias_row, lm_idx)
+        mask64 = (norm64[lm_idx] >= p.min_z) & (st["lr"] >= p.min_lr)
+        cand_idx = lm_idx[mask64]
+        cand = np.zeros(L, bool)
+        cand[cand_idx] = True
+        sel = greedy_select_fast(smooth64, cand, p.nuc_sep)
+        sel_set = {int(i) for i in sel}
+        stf = {k: st[k][mask64] for k in st}
+
+        def mk(j: int) -> NucCall:
+            i = int(cand_idx[j])
+            occ, lo, up = occ_lookup(cid, chunk, chunk.start + i)
+            return NucCall(
+                chunk.chrom, chunk.start + i, float(norm64[i]), occ, lo, up,
+                float(stf["lr"][j]), float(smooth64[i]),
+                float(stf["signal"][j]), float(stf["fuzz"][j]),
+            )
+
+        red = [mk(j) for j in range(len(cand_idx))]
+        calls = [red[j] for j in range(len(cand_idx)) if int(cand_idx[j]) in sel_set]
+        return calls, red, sel
+
+    def _refinish_at(self, chunk, tiles, bias_row, positions, want_smooth=False):
+        """Float64 stats at chunk-relative positions, grouped per tile so
+        each position is scored in the same window the device used."""
+        refin = self.refinisher
+        W = self.engine.width
+        out = {
+            k: np.zeros(len(positions))
+            for k in ("norm", "lr", "signal", "fuzz", "n", "smooth")
+        }
+        if len(positions) == 0:
+            return out
+        gpos = chunk.start + np.asarray(positions, np.int64)
+        core_starts = np.array([t.core_start for t in tiles])
+        ti = np.searchsorted(core_starts, gpos, side="right") - 1
+        for t_idx in np.unique(ti):
+            t = tiles[t_idx]
+            in_t = ti == t_idx
+            cols = gpos[in_t] - t.win_start
+            m, s = self._frags.window(chunk.chrom, t.win_start, t.win_start + W)
+            st = refin.stats_at(
+                m - t.win_start, s, bias_row(t), cols, want_smooth
+            )
+            for k in out:
+                out[k][in_t] = st[k]
+        return out

@@ -1,0 +1,245 @@
+"""Float64 host refinish of nuc-stage dyad statistics + tie certification.
+
+Round-1 VERDICT item 3: the occ stage already has a provably-exact path
+(device margin certification + host f64 refinish, models/occ.py); this is
+the nuc-stage equivalent. The device computes per-bp norm/smooth tracks
+in f32 (all that output files need per-bp); every PRINTED per-dyad stat
+and every SELECTION decision is then either
+
+- recomputed in float64 from the raw integer fragment window + float64
+  bias model (``NucRefinisher.stats_at`` — C++ inner loop,
+  io/native/nucrefine.cpp, numpy fallback below), or
+- certified by an f32 margin: decisions whose score margins exceed
+  ``cfg.nuc.exact_tol`` (a bound on |f32 track - f64 track|) provably
+  agree with float64; chunks with any sub-margin decision fall back to a
+  full float64 recompute (``NucRefinisher.full_norm_track``).
+
+Equality target: the float64 mirror pipeline (mirror/windows.py). The
+refinisher and the mirror may differ by ~1e-13 (different but
+mathematically-equal operation orders: e.g. exp(a)*exp(b) vs exp(a+b));
+that is far below the %.5g print surface of nucpos.bed, so printed rows
+are bit-identical (tests/test_exact_nuc.py).
+
+Reference behavior being made exact: nucleoatac/NucleosomeCalling.py
+per-dyad stats + nucpos selection (SURVEY.md §3.2/§4.2).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from nucleoatac_tpu.config import RunConfig
+from nucleoatac_tpu.core.pwm import PWM
+from nucleoatac_tpu.core.vmat import VMat
+from nucleoatac_tpu.ops.smooth import gauss_kernel
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "io", "native", "libnucrefine.so",
+)
+
+
+def _load_lib():
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    lp = ctypes.POINTER(ctypes.c_int64)
+    lib.nucrefine_stats.restype = ctypes.c_int
+    lib.nucrefine_stats.argtypes = [
+        ip, ip, ctypes.c_long, dp, dp, dp, dp,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        lp, ctypes.c_long, ctypes.c_int, dp, ctypes.c_int, dp,
+    ]
+    lib.nucrefine_norm_track.restype = ctypes.c_int
+    lib.nucrefine_norm_track.argtypes = [
+        ip, ip, ctypes.c_long, dp, dp, dp, dp,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, dp,
+    ]
+    return lib
+
+
+_LIB = _load_lib()
+
+
+def _dp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+class NucRefinisher:
+    """Per-tile float64 stats at dyad columns + full-track fallback."""
+
+    def __init__(
+        self,
+        cfg: RunConfig,
+        vmat: VMat,
+        size_probs64: np.ndarray,
+        pwm: Optional[PWM],
+        fasta,
+        use_native: bool = True,
+    ):
+        self.cfg = cfg
+        self.width = cfg.window.width(cfg.occ, cfg.vmat)
+        self.halo = cfg.window.halo(cfg.occ, cfg.vmat)
+        self.core_lo = self.halo
+        self.core_hi = self.width - self.halo
+        self.pwm = pwm
+        self.fasta = fasta
+        self.V = np.ascontiguousarray(vmat.mat, dtype=np.float64)
+        self.logV = np.log(np.maximum(self.V, cfg.nuc.v_floor))
+        self.q = np.ascontiguousarray(size_probs64, dtype=np.float64)
+        self.Sv, self.K = self.V.shape
+        if self.Sv != cfg.vmat.upper - cfg.vmat.lower:
+            raise ValueError("vmat size range mismatch")
+        # float64 gaussian kernel, identical support to the device kernel
+        k32 = gauss_kernel(cfg.nuc.smooth_sd)
+        hw = len(k32) // 2
+        t = np.arange(-hw, hw + 1, dtype=np.float64)
+        k = np.exp(-0.5 * (t / cfg.nuc.smooth_sd) ** 2)
+        self.gk = k / k.sum()
+        self.lib = _LIB if use_native else None
+
+    # ---- bias row for a window (float64, same semantics as the device
+    # seq-codes path: real sequence over the full window span) -----------
+    def log_bias_row(self, chrom: str, win_start: int) -> np.ndarray:
+        from nucleoatac_tpu.models.nuc import chunk_log_bias
+
+        if self.pwm is None or self.fasta is None:
+            return np.zeros(self.width, dtype=np.float64)
+        return chunk_log_bias(
+            self.fasta, self.pwm, chrom, win_start, win_start + self.width
+        )
+
+    # ---- per-column stats ------------------------------------------------
+    def stats_at(
+        self,
+        mids: np.ndarray,  # window-relative int32, any size range
+        sizes: np.ndarray,
+        log_bias: np.ndarray,  # [W] float64
+        cols: np.ndarray,  # window-relative dyad columns, int64
+        want_smooth: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        cols = np.ascontiguousarray(cols, dtype=np.int64)
+        mids = np.ascontiguousarray(mids, dtype=np.int32)
+        sizes = np.ascontiguousarray(sizes, dtype=np.int32)
+        log_bias = np.ascontiguousarray(log_bias, dtype=np.float64)
+        if self.lib is not None:
+            out = np.empty((len(cols), 6), dtype=np.float64)
+            rc = self.lib.nucrefine_stats(
+                mids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(mids), _dp(log_bias), _dp(self.q), _dp(self.V),
+                _dp(self.logV), self.width, self.K, self.Sv,
+                self.cfg.vmat.lower, self.core_lo, self.core_hi,
+                self.cfg.nuc.var_floor,
+                cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(cols), 1 if want_smooth else 0, _dp(self.gk),
+                len(self.gk), _dp(out),
+            )
+            if rc != 0:
+                raise ValueError(f"nucrefine_stats failed rc={rc} (footprint)")
+        else:
+            out = self._stats_numpy(mids, sizes, log_bias, cols, want_smooth)
+        return {
+            "norm": out[:, 0], "lr": out[:, 1], "signal": out[:, 2],
+            "fuzz": out[:, 3], "n": out[:, 4], "smooth": out[:, 5],
+        }
+
+    # ---- full-width float64 norm + smooth (tie fallback / strict) --------
+    def full_tracks(self, mids, sizes, log_bias):
+        mids = np.ascontiguousarray(mids, dtype=np.int32)
+        sizes = np.ascontiguousarray(sizes, dtype=np.int32)
+        log_bias = np.ascontiguousarray(log_bias, dtype=np.float64)
+        if self.lib is not None:
+            norm = np.empty(self.width, dtype=np.float64)
+            rc = self.lib.nucrefine_norm_track(
+                mids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(mids), _dp(log_bias), _dp(self.q), _dp(self.V),
+                _dp(self.logV), self.width, self.K, self.Sv,
+                self.cfg.vmat.lower, self.core_lo, self.core_hi,
+                self.cfg.nuc.var_floor, _dp(norm),
+            )
+            if rc != 0:
+                raise ValueError(f"nucrefine_norm_track failed rc={rc}")
+        else:
+            norm = self._norm_track_numpy(mids, sizes, log_bias)
+        smooth = np.convolve(norm, self.gk, mode="same")
+        return norm, smooth
+
+    # ---- numpy fallback (also the correctness oracle for the C++ lib) ----
+    def _window_arrays(self, mids, sizes, log_bias):
+        from nucleoatac_tpu import mirror
+
+        cfg = self.cfg
+        F = mirror.rasterize(
+            mids, sizes, cfg.vmat.lower, cfg.vmat.upper, self.width
+        ).astype(np.float64)
+        b0 = mirror.bias_mat(
+            log_bias, self.q, cfg.vmat.lower, cfg.vmat.upper,
+            self.core_lo, self.core_hi,
+        )
+        return F, b0
+
+    def _sums_at(self, F, b0, c):
+        half = self.K // 2
+        fw = F[:, c - half : c + half + 1]
+        bw = b0[:, c - half : c + half + 1]
+        offs = np.arange(self.K, dtype=np.float64) - half
+        return dict(
+            signal=float((self.V * fw).sum()), n=float(fw.sum()),
+            flogv=float((self.logV * fw).sum()),
+            fo=float((offs[None, :] * fw).sum()),
+            fo2=float((offs[None, :] ** 2 * fw).sum()),
+            bsum=float(bw.sum()), vb=float((self.V * bw).sum()),
+            v2b=float((self.V * self.V * bw).sum()),
+        )
+
+    def _finish(self, s):
+        var_floor = self.cfg.nuc.var_floor
+        safe_b = s["bsum"] if s["bsum"] > 0 else 1.0
+        mu = s["vb"] / safe_b
+        mu2 = s["v2b"] / safe_b
+        var = s["n"] * (mu2 - mu * mu)
+        ok = var > var_floor and s["n"] > 0
+        norm = (s["signal"] - s["n"] * mu) / np.sqrt(var) if ok else 0.0
+        lr = (
+            s["flogv"] - s["n"] * np.log(max(mu, 1e-300))
+            if s["n"] > 0 else 0.0
+        )
+        fuzz = 0.0
+        if s["n"] > 0:
+            m1, m2 = s["fo"] / s["n"], s["fo2"] / s["n"]
+            fuzz = float(np.sqrt(max(m2 - m1 * m1, 0.0)))
+        return norm, lr, s["signal"], fuzz, s["n"]
+
+    def _stats_numpy(self, mids, sizes, log_bias, cols, want_smooth):
+        F, b0 = self._window_arrays(mids, sizes, log_bias)
+        out = np.zeros((len(cols), 6), dtype=np.float64)
+        hw = len(self.gk) // 2
+        for i, c in enumerate(cols):
+            out[i, :5] = self._finish(self._sums_at(F, b0, int(c)))
+            if want_smooth:
+                nb = np.array(
+                    [
+                        self._finish(self._sums_at(F, b0, int(c) + d))[0]
+                        for d in range(-hw, hw + 1)
+                    ]
+                )
+                out[i, 5] = float(self.gk @ nb)
+        return out
+
+    def _norm_track_numpy(self, mids, sizes, log_bias):
+        from nucleoatac_tpu import mirror
+
+        F, b0 = self._window_arrays(mids, sizes, log_bias)
+        return mirror.nuc_scores(
+            F, b0, self.V, self.cfg.nuc.v_floor, self.cfg.nuc.var_floor
+        ).norm

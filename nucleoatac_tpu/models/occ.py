@@ -80,18 +80,30 @@ def call_occ_peaks(
     ]
 
 
-def _pipelined(batches, dispatch):
-    """Dispatch batch i+1 to the device before materializing batch i's
-    results on host (jax dispatch is async) — the TPU analogue of the
-    reference's worker/writer overlap (SURVEY.md §3.3 row 2)."""
-    prev = None
+def _pipelined(batches, dispatch, depth: int = 3):
+    """Keep ``depth`` batches in flight: dispatch batch i+depth and START
+    its device->host copy (copy_to_host_async) before materializing batch
+    i's results. On the remote relay, serial np.asarray fetches pay a full
+    ~33 ms RTT each while async copies overlap (measured: 8x1MB 440 ms
+    serial -> 215 ms async, scripts/probe_async.py) — this is the TPU
+    analogue of the reference's worker/writer overlap (SURVEY.md §3.3
+    row 2), upgraded from the round-1 single-buffered version per VERDICT
+    item 2."""
+    from collections import deque
+
+    import jax
+
+    q = deque()
     for b in batches:
         out = dispatch(b)
-        if prev is not None:
-            yield prev
-        prev = (b, out)
-    if prev is not None:
-        yield prev
+        for leaf in jax.tree_util.tree_leaves(out):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        q.append((b, out))
+        if len(q) > depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
 
 
 class OccStage:
@@ -133,20 +145,21 @@ class OccStage:
         asm.expect(tiles)
         import jax.numpy as jnp
 
-        # compact download: ONE uint8 [B, 4, W] array per batch (grid
-        # indices + certified flag; engine.occ_step_*_c) — the
-        # device->host fetch pays a fixed RTT per array on the relay, so
-        # one small download beats six f32 tracks ~6x
+        # wire v2 download: ONE uint8 [B, 3, core] array per batch (grid
+        # indices, certified flag in bit 7 of channel 0, core columns
+        # only; engine.occ_step_*_c3) — the download link bounds
+        # windows/s (~35 MB/s on the relay), so every halo byte shipped
+        # was throughput lost
         if cfg.window.transfer == "delta":
 
             def dispatch(batch):
-                return eng.occ_step_delta_c(jnp.asarray(batch.delta))
+                return eng.occ_step_delta_c3(jnp.asarray(batch.delta))
 
             batches = make_delta_batches(frags, tiles, eng.width, cfg.window.batch)
         elif cfg.window.transfer == "packed":
 
             def dispatch(batch):
-                return eng.occ_step_packed_c(jnp.asarray(batch.packed))
+                return eng.occ_step_packed_c3(jnp.asarray(batch.packed))
 
             batches = make_packed_batches(frags, tiles, eng.width, cfg.window.batch)
         elif cfg.window.transfer == "frags":
@@ -154,34 +167,37 @@ class OccStage:
             def dispatch(batch):
                 s = np.where(batch.valid, batch.sizes, 0).astype(np.int32)
                 m = np.where(batch.valid, batch.mids, 0).astype(np.int32)
-                return eng.occ_step_packed_c(jnp.asarray((s << 16) | m))
+                return eng.occ_step_packed_c3(jnp.asarray((s << 16) | m))
 
             batches = make_batches(frags, tiles, eng.width, cfg.window.batch)
         else:
 
             def dispatch(batch):
-                return eng.occ_step_c(jnp.asarray(batch.mats))  # int16
+                return eng.occ_step_c3(jnp.asarray(batch.mats))  # int16
 
             batches = make_dense_batches(
                 frags, tiles, eng.width, cfg.window.batch,
                 cfg.sizes.lower, cfg.sizes.upper,
             )
-        # double-buffered: batch i+1 runs on device while host assembles i.
-        # Occupancy values live on the discrete alpha grid; the wire
-        # carries grid INDICES, decoded here with the f64 grid — lossless
+        # multi-buffered (depth 3): later batches run/copy while the host
+        # assembles. Occupancy values live on the discrete alpha grid; the
+        # wire carries grid INDICES, decoded here with the f64 grid —
+        # lossless
         grid64 = mix.alpha_grid(cfg.occ)
 
         for batch, out in _pipelined(batches, dispatch):
-            idx = np.asarray(out, np.int64)  # [B, 4, W]
+            raw = np.asarray(out, np.int64)  # [B, 3, core]
+            idx = raw & 0x7F
+            cert = (raw[:, 0] >> 7).astype(np.float64)
             occ_b = grid64[idx[:, 0]]
             lo_b = grid64[idx[:, 1]]
             up_b = grid64[idx[:, 2]]
             for r, t in enumerate(batch.meta):
-                col = t.core_start - t.win_start
+                # arrays are core-only: column 0 == t.core_start
                 vals = {"occ": occ_b[r], "lower": lo_b[r], "upper": up_b[r]}
                 if cfg.occ.exact:
-                    vals["cert"] = idx[r, 3].astype(np.float64)
-                for cid, chunk, tracks in asm.add(t, vals, col):
+                    vals["cert"] = cert[r]
+                for cid, chunk, tracks in asm.add(t, vals, 0):
                     if cfg.occ.exact:
                         self._exact_refinish(chunk, tracks, frags)
                     peaks = self._finish_chunk(chunk, tracks, writers)

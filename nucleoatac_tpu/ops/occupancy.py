@@ -96,6 +96,56 @@ def occupancy_packed(
     return out.astype(jnp.uint8)
 
 
+def occupancy_packed3(
+    mat: jax.Array,  # [B, S, W] float32 counts (integer-valued)
+    log_mix: jax.Array,  # [S, G] float32
+    flank: int,
+    core_lo: int,
+    core_len: int,
+    ci_drop: float = 1.92,
+    exact_tol: float = 0.05,
+) -> jax.Array:
+    """Wire format v2: ONE uint8 [B, 3, core_len] download per batch.
+
+    Channels: 0 = argmax grid index | certified-flag << 7, 1 = CI-lower
+    index, 2 = CI-upper index — sliced to the window core
+    ``[core_lo, core_lo + core_len)`` (halo columns are never written to
+    output tracks, so shipping them wasted ~1/3 of the download, and the
+    download link is the honest pipeline bottleneck: ~35 MB/s on the
+    relay, measured round 2). Requires grid size <= 128 (7-bit index).
+    Decoded on host with the float64 grid (models/occ.py) — lossless, as
+    occupancy values live on the discrete alpha grid."""
+    G = log_mix.shape[1]
+    if G > 128:
+        raise ValueError(
+            f"grid size {G} > 128 overflows the 7-bit packed grid index; "
+            "use occupancy_batch instead"
+        )
+    ll, n = _ll_and_n(mat, log_mix, flank)
+    ll = ll[:, core_lo : core_lo + core_len]
+    n = n[:, core_lo : core_lo + core_len]
+    best = jnp.argmax(ll, axis=-1)
+    llmax = jnp.max(ll, axis=-1)
+    ok = ll >= (llmax[..., None] - ci_drop)
+    first = jnp.argmax(ok, axis=-1)
+    last = G - 1 - jnp.argmax(ok[..., ::-1], axis=-1)
+
+    is_best = jax.nn.one_hot(best, G, dtype=jnp.bool_)
+    ll2 = jnp.max(jnp.where(is_best, -jnp.inf, ll), axis=-1)
+    margin = llmax - ll2
+    thr = llmax[..., None] - ci_drop
+    ci_margin = jnp.min(jnp.abs(ll - thr), axis=-1)
+
+    empty = n <= 0
+    certified = ((margin > exact_tol) & (ci_margin > exact_tol)) | empty
+    ch0 = jnp.where(empty, 0, best) | (certified.astype(jnp.int32) << 7)
+    out = jnp.stack(
+        [ch0, jnp.where(empty, 0, first), jnp.where(empty, G - 1, last)],
+        axis=1,
+    )
+    return out.astype(jnp.uint8)
+
+
 def _ll_and_n(mat, log_mix, flank):
     """[B, W, G] window log-likelihood surface + [B, W] window counts."""
     # HIGH (bf16x3) keeps the alpha-argmax stable vs the f64 mirror:

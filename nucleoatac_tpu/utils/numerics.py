@@ -61,3 +61,31 @@ def greedy_select_fast(
         hi = min(len(scores), p + sep)
         taken[lo:hi] = True
     return sorted(kept)
+
+
+def local_max_margin_fast(x: np.ndarray, halfwin: int) -> np.ndarray:
+    """Signed local-max margin: x[p] - max(window values excluding p,
+    within ±halfwin). Positive margin == strict local max. Used by the
+    nuc-stage tie guard (models/nuc.py): a decision whose |margin| clears
+    the f32-vs-f64 error bound provably agrees with the float64 mirror."""
+    W = len(x)
+    if W == 0:
+        return np.zeros(0)
+    neg = -np.inf
+    padded_l = (
+        np.concatenate([np.full(halfwin, neg), x[:-1]])
+        if W > 1 else np.full(halfwin, neg)
+    )
+    lm = (
+        np.max(np.lib.stride_tricks.sliding_window_view(padded_l, halfwin), axis=1)
+        if W > 1 else np.array([neg])
+    )
+    padded_r = (
+        np.concatenate([x[1:], np.full(halfwin, neg)])
+        if W > 1 else np.full(halfwin, neg)
+    )
+    rm = (
+        np.max(np.lib.stride_tricks.sliding_window_view(padded_r, halfwin), axis=1)
+        if W > 1 else np.array([neg])
+    )
+    return x - np.maximum(lm, rm)

@@ -272,3 +272,47 @@ def test_delta_guards():
         encode_delta_fragments(
             np.array([10, 5]), np.array([100, 100]), out, 0
         )
+
+
+def test_occ_packed3_matches_full_tracks(rng):
+    """Wire v2: uint8 [B, 3, core] core-only download decodes to the same
+    occ/lower/upper/cert as the full-width OccTracks path."""
+    cfg, eng, db, _ = _tiny(rng)
+    full = eng.occ_step_delta(jnp.asarray(db))
+    comp = np.asarray(eng.occ_step_delta_c3(jnp.asarray(db)), np.int64)
+    assert comp.shape == (db.shape[0], 3, eng.core)
+    lo, hi = eng.core_lo, eng.core_lo + eng.core
+    G = cfg.occ.grid_size
+    grid = np.linspace(0.0, 1.0, G)
+    idx = comp & 0x7F
+    cert = (comp[:, 0] >> 7).astype(bool)
+    np.testing.assert_allclose(
+        grid[idx[:, 0]], np.asarray(full.occ)[:, lo:hi], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        grid[idx[:, 1]], np.asarray(full.lower)[:, lo:hi], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        grid[idx[:, 2]], np.asarray(full.upper)[:, lo:hi], atol=1e-6
+    )
+    tol = cfg.occ.exact_tol
+    mg = np.asarray(full.margin)[:, lo:hi]
+    cm = np.asarray(full.ci_margin)[:, lo:hi]
+    want = ((mg > tol) & (cm > tol)) | (np.asarray(full.n)[:, lo:hi] <= 0)
+    np.testing.assert_array_equal(cert, want)
+
+
+def test_nuc_c2_matches_tracks(rng):
+    """Wire v2: f32 [B, 2, core] equals the norm/norm_smooth NucTracks."""
+    cfg, eng, db, codes = _tiny(rng)
+    nib = jnp.asarray(pack_nibble_codes(codes))
+    full = eng.nuc_step_delta_seq(jnp.asarray(db), nib)
+    comp = np.asarray(eng.nuc_step_delta_seq_c2(jnp.asarray(db), nib))
+    assert comp.shape == (db.shape[0], 2, eng.core)
+    lo, hi = eng.core_lo, eng.core_lo + eng.core
+    np.testing.assert_allclose(
+        comp[:, 0], np.asarray(full.norm)[:, lo:hi], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        comp[:, 1], np.asarray(full.norm_smooth)[:, lo:hi], atol=1e-6
+    )
