@@ -131,6 +131,8 @@ class DeviceEngine:
         self._occ_packed = jax.jit(self._occ_packed_impl, **jit_kwargs)
         self._occ_packed3 = jax.jit(self._occ_packed3_impl, **jit_kwargs)
         self._finish2 = jax.jit(self._finish2_impl, **jit_kwargs)
+        self._nuc1m = jax.jit(self._nuc1m_impl, **jit_kwargs)
+        self._pack_run = jax.jit(self._pack_run_impl, **jit_kwargs)
         self._bias = jax.jit(self._bias_impl, **jit_kwargs)
         self._convs = jax.jit(self._convs_impl, **jit_kwargs)
         self._finish = jax.jit(self._finish_impl, **jit_kwargs)
@@ -236,6 +238,30 @@ class DeviceEngine:
         t = self._finish_impl(fo, bo)
         out = jnp.stack([t.norm, t.norm_smooth], axis=1)
         return out[:, :, self.core_lo : self.core_lo + self.core]
+
+    def smooth_margin(self) -> int:
+        """Columns of norm needed on each side of the core to reproduce
+        the device's per-window gaussian smooth on host."""
+        return len(self.smooth_kernel) // 2
+
+    def _nuc1m_impl(self, fo, bo):
+        """Wire v3 nuc finisher: f32 [B, core + 2*smooth_margin] norm only
+        (no smooth channel — the smoothed track is a deterministic
+        convolution of norm, recomputed on host from the margin-extended
+        core slice; models/nuc.py :: host_smooth). Halves nuc download
+        bytes again vs _finish2 on the ~35 MB/s relay link."""
+        t = self._finish_impl(fo, bo)
+        m = self.smooth_margin()
+        return t.norm[:, self.core_lo - m : self.core_lo + self.core + m]
+
+    def _pack_run_impl(self, occ3, norm1m):
+        """Fused-run download: ONE uint8 [B, 3*core + 4*(core+2m)] buffer
+        per batch — occ grid indices + bitcast f32 norm — so the full
+        occ+nuc pipeline pays a single upload and a single download per
+        batch (models/fused.py)."""
+        B = occ3.shape[0]
+        nb = jax.lax.bitcast_convert_type(norm1m, jnp.uint8).reshape(B, -1)
+        return jnp.concatenate([occ3.reshape(B, -1), nb], axis=1)
 
     def _bias_impl(self, log_bias):
         return bias_mat_batch(
@@ -377,6 +403,55 @@ class DeviceEngine:
             out = jnp.stack([sc.norm, self._smooth(sc.norm)], axis=1)
             return out[:, :, self.core_lo : self.core_lo + self.core]
         return self._finish2(*self._convs(mat, self._bias(log_bias)))
+
+    def _nucm(self, mat, log_bias):
+        """f32 [B, core + 2m] norm with smooth margins (wire v3)."""
+        if self.use_pallas:
+            sc = self._pallas_scores(mat, self._bias(log_bias))
+            m = self.smooth_margin()
+            return sc.norm[:, self.core_lo - m : self.core_lo + self.core + m]
+        return self._nuc1m(*self._convs(mat, self._bias(log_bias)))
+
+    # Wire-v3 nuc entry points (norm-with-margin; host recomputes smooth):
+    def nuc_step_delta_seq_m(self, db, packed_codes):
+        return self._nucm(self._raster_delta(db), self._logbias_nib(packed_codes))
+
+    def nuc_step_delta_m(self, db, log_bias):
+        return self._nucm(self._raster_delta(db), log_bias)
+
+    def nuc_step_packed_seq_m(self, packed, codes):
+        return self._nucm(self._raster_packed(packed), self._logbias_seq(codes))
+
+    def nuc_step_packed_m(self, packed, log_bias):
+        return self._nucm(self._raster_packed(packed), log_bias)
+
+    def nuc_step_frags_m(self, mids, sizes, valid, log_bias):
+        return self._nucm(self._raster(mids, sizes, valid), log_bias)
+
+    def nuc_step_dense_m(self, mat, log_bias):
+        return self._nucm(mat, log_bias)
+
+    # Fused-run entry point: the whole occ+nuc pipeline from one upload to
+    # one packed download per batch (models/fused.py; chained jits, not a
+    # single fused program — see the axon miscompile note below).
+    def run_step_delta(self, db, packed_codes):
+        mat = self._raster_delta(db)
+        occ3 = self._occ_packed3(mat)
+        norm1m = self._nucm(mat, self._logbias_nib(packed_codes))
+        return self._pack_run(occ3, norm1m)
+
+    def unpack_run(self, buf: np.ndarray):
+        """Host-side decode of run_step_delta output: (occ3 uint8
+        [B, 3, core], norm f32 [B, core+2m])."""
+        B = buf.shape[0]
+        n_occ = 3 * self.core
+        occ3 = buf[:, :n_occ].reshape(B, 3, self.core)
+        norm = (
+            np.ascontiguousarray(buf[:, n_occ:])
+            .view(np.float32)
+            .reshape(B, -1)
+        )
+        return occ3, norm
 
     # Wire-v2 entry points (core-only compact downloads):
     def occ_step_delta_c3(self, db):

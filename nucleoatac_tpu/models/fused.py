@@ -1,0 +1,153 @@
+"""Fused occ+nuc pass: one upload, one download per window batch.
+
+`nucleoatac run` executes occ then nuc over the SAME window tiles; as two
+passes each pays its own fragment upload and its own download, and the
+host<->device link is the honest pipeline bottleneck (~35 MB/s down,
+~80 MB/s up on the relay — PARITY.md). This driver runs both stages from
+a single rasterization: per batch it uploads the delta fragments +
+nibble-packed sequence codes once, dispatches the chained occ/nuc device
+stages, and fetches ONE packed buffer (uint8 occ grid indices + bitcast
+f32 norm; engine.run_step_delta/unpack_run). All per-chunk finishing —
+occ f64 refinish, occ peaks, nuc f64 stat refinish, selection, writers —
+is identical to the standalone stages (it calls into them), so outputs
+are byte-identical to running `occ` then `nuc` separately.
+
+The reference has no analogue (its stages are separate processes handing
+off through files, SURVEY.md §4.3); the standalone `occ`/`nuc`
+subcommands keep that file contract, `run` just stops paying for it.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from nucleoatac_tpu.config import RunConfig
+from nucleoatac_tpu.core.chunk import ChunkList
+from nucleoatac_tpu.core.fragmentsizes import FragmentSizes
+from nucleoatac_tpu.core.mixture import FragmentMixDistribution
+from nucleoatac_tpu.io.bam import BamFragments
+from nucleoatac_tpu.io.tabix import TabixWriter
+from nucleoatac_tpu.models.data import ChunkAssembler, make_delta_batches, tile_chunks
+from nucleoatac_tpu.models.engine import DeviceEngine
+from nucleoatac_tpu.models.nuc import (
+    NucStage,
+    NucStageResult,
+    SeqCodesProvider,
+    host_smooth,
+)
+from nucleoatac_tpu.models.occ import OccStage, OccStageResult, _pipelined
+
+
+def fused_supported(cfg: RunConfig, engine: DeviceEngine) -> bool:
+    """The fused pass covers the production configuration (delta wire +
+    on-device PWM bias + exact nuc finishing); anything else falls back
+    to the two-pass drivers."""
+    return (
+        cfg.window.transfer == "delta"
+        and engine.pwm is not None
+        and cfg.nuc.exact
+    )
+
+
+def run_fused(
+    cfg: RunConfig,
+    engine: DeviceEngine,
+    occ_stage: OccStage,
+    nuc_stage: NucStage,
+    frags: BamFragments,
+    chunks: ChunkList,
+    mix: FragmentMixDistribution,
+    fs: FragmentSizes,
+    out_prefix: Optional[str] = None,
+    keep_tracks: bool = True,
+) -> Tuple[OccStageResult, NucStageResult]:
+    import jax.numpy as jnp
+
+    eng = engine
+    occ_res = OccStageResult(mix=mix, fragmentsizes=fs, chunks=chunks)
+    nuc_res = NucStageResult()
+
+    occ_writers, nuc_writers = {}, {}
+    if out_prefix:
+        occ_writers = {
+            "occ": TabixWriter(f"{out_prefix}.occ.bedgraph.gz"),
+            "lower": TabixWriter(f"{out_prefix}.occ.lower_bound.bedgraph.gz"),
+            "upper": TabixWriter(f"{out_prefix}.occ.upper_bound.bedgraph.gz"),
+            "peaks": TabixWriter(f"{out_prefix}.occpeaks.bed.gz"),
+        }
+        nuc_writers = {
+            "norm": TabixWriter(f"{out_prefix}.nucleoatac_signal.bedgraph.gz"),
+            "smooth": TabixWriter(
+                f"{out_prefix}.nucleoatac_signal.smooth.bedgraph.gz"
+            ),
+            "pos": TabixWriter(f"{out_prefix}.nucpos.bed.gz"),
+            "red": TabixWriter(f"{out_prefix}.nucpos.redundant.bed.gz"),
+        }
+
+    tiles = tile_chunks(chunks, cfg.window, cfg.occ, cfg.vmat)
+    occ_stage.prepare_exact(mix)
+    nuc_stage.prepare(frags, tiles)
+    occ_asm = ChunkAssembler(chunks, occ_stage.track_names())
+    nuc_asm = ChunkAssembler(chunks, ["norm", "norm_smooth"])
+    occ_asm.expect(tiles)
+    nuc_asm.expect(tiles)
+
+    seq_provider = SeqCodesProvider(nuc_stage.fasta, chunks, eng, cfg.window.batch)
+    from nucleoatac_tpu.models.data import pack_nibble_codes
+
+    def dispatch(batch):
+        nib = pack_nibble_codes(seq_provider.rows(batch.meta))
+        return eng.run_step_delta(jnp.asarray(batch.delta), jnp.asarray(nib))
+
+    batches = make_delta_batches(frags, tiles, eng.width, cfg.window.batch)
+    grid64 = mix.alpha_grid(cfg.occ)
+
+    def occ_lookup(cid, chunk, pos):
+        tr = occ_res.tracks.get(cid)
+        if tr is None:
+            return 0.0, 0.0, 1.0
+        i = pos - chunk.start
+        if i < 0 or i >= len(tr["occ"]):
+            return 0.0, 0.0, 1.0
+        return float(tr["occ"][i]), float(tr["lower"][i]), float(tr["upper"][i])
+
+    m = eng.smooth_margin()
+    for batch, out in _pipelined(batches, dispatch):
+        occ3, normm = eng.unpack_run(np.asarray(out))
+        occ3 = occ3.astype(np.int64)
+        idx = occ3 & 0x7F
+        cert = (occ3[:, 0] >> 7).astype(np.float64)
+        occ_b = grid64[idx[:, 0]]
+        lo_b = grid64[idx[:, 1]]
+        up_b = grid64[idx[:, 2]]
+        nuc_arrs = host_smooth(
+            normm.astype(np.float64), m, nuc_stage.refinisher.gk
+        )
+        for r, t in enumerate(batch.meta):
+            vals = {"occ": occ_b[r], "lower": lo_b[r], "upper": up_b[r]}
+            if cfg.occ.exact:
+                vals["cert"] = cert[r]
+            # occ tile FIRST: a chunk's occ tracks complete before its nuc
+            # finishing looks them up (same tile set in both assemblers)
+            for cid, chunk, tracks in occ_asm.add(t, vals, 0):
+                if cfg.occ.exact:
+                    occ_stage._exact_refinish(chunk, tracks, frags)
+                occ_res.peaks.extend(
+                    occ_stage._finish_chunk(chunk, tracks, occ_writers)
+                )
+                occ_res.tracks[cid] = tracks
+            nv = {k: nuc_arrs[k][r] for k in ("norm", "norm_smooth")}
+            for cid, chunk, tracks in nuc_asm.add(t, nv, 0):
+                seq_provider.pop(cid)
+                nuc_stage._finish_chunk(
+                    cid, chunk, tracks, occ_lookup, nuc_writers, nuc_res
+                )
+                if keep_tracks:
+                    nuc_res.tracks[cid] = tracks
+
+    for w in occ_writers.values():
+        w.close()
+    for w in nuc_writers.values():
+        w.close()
+    return occ_res, nuc_res

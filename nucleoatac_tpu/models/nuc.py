@@ -111,6 +111,60 @@ def chunk_log_bias(
     return out
 
 
+class SeqCodesProvider:
+    """Per-chunk sequence-code cache -> per-batch uint8 code rows (the
+    device PWM bias wire format, ops/pwmseq.py). Shared by NucStage and
+    the fused occ+nuc driver (models/fused.py)."""
+
+    def __init__(self, fasta, chunks, eng, batch: int):
+        self.fasta = fasta
+        self.chunks = chunks
+        self.eng = eng
+        self.batch = batch
+        self.cache: Dict[int, np.ndarray] = {}
+
+    def rows(self, metas) -> np.ndarray:
+        """[B, W + L - 1] uint8 rows starting at win_start - pwm.up."""
+        eng = self.eng
+        up = eng.pwm.up
+        halo = eng.halo
+        wp = eng.seq_codes_width()
+        codes = np.full((self.batch, wp), 4, dtype=np.uint8)
+        for r, t in enumerate(metas):
+            chunk = self.chunks[t.chunk_id]
+            if t.chunk_id not in self.cache:
+                self.cache[t.chunk_id] = chunk_seq_codes(
+                    self.fasta, chunk.chrom,
+                    chunk.start - halo - up,
+                    chunk.end + halo + eng.width + eng.pwm.down,
+                )
+            cb = self.cache[t.chunk_id]
+            a = (t.win_start - up) - (chunk.start - halo - up)
+            seg = cb[max(0, a) : a + wp]
+            dst = max(0, -a)
+            codes[r, dst : dst + len(seg)] = seg
+        return codes
+
+    def pop(self, cid: int) -> None:
+        self.cache.pop(cid, None)
+
+
+def host_smooth(normm: np.ndarray, margin: int, gk: np.ndarray):
+    """[B, core+2*margin] norm rows -> {'norm': [B, core], 'norm_smooth':
+    [B, core]} with the smoothed track recomputed on host.
+
+    The device's per-window gaussian smooth at a core position only reads
+    norm within ±margin of the core, all present in the margin-extended
+    download, so the host convolution sees exactly the data the device
+    would — the smooth track costs zero download bytes."""
+    B = normm.shape[0]
+    sm = np.empty_like(normm)
+    for b in range(B):
+        sm[b] = np.convolve(normm[b], gk, mode="same")
+    sl = slice(margin, normm.shape[1] - margin)
+    return {"norm": normm[:, sl], "norm_smooth": sm[:, sl]}
+
+
 class NucStage:
     def __init__(
         self,
@@ -130,6 +184,14 @@ class NucStage:
             self.refinisher = NucRefinisher(
                 cfg, engine.vmat, engine.size_probs64, self.pwm, fasta
             )
+
+    def prepare(self, frags: BamFragments, tiles) -> None:
+        """Per-run state for refinish position -> window mapping (also
+        called by the fused occ+nuc driver, models/fused.py)."""
+        self._tiles_by_cid: Dict[int, List] = {}
+        for t in tiles:
+            self._tiles_by_cid.setdefault(t.chunk_id, []).append(t)
+        self._frags = frags
 
     def run(
         self,
@@ -169,11 +231,7 @@ class NucStage:
         asm = ChunkAssembler(chunks, names)
         asm.expect(tiles)
         halo = eng.halo
-        # per-chunk tile lists for position -> window mapping in refinish
-        self._tiles_by_cid: Dict[int, List] = {}
-        for t in tiles:
-            self._tiles_by_cid.setdefault(t.chunk_id, []).append(t)
-        self._frags = frags
+        self.prepare(frags, tiles)
 
         # per-chunk bias caches (chunk extended by halo on both sides)
         bias_cache: Dict[int, np.ndarray] = {}
@@ -202,33 +260,17 @@ class NucStage:
             return logb
 
         # per-chunk sequence-code caches (device PWM bias path)
-        codes_cache: Dict[int, np.ndarray] = {}
+        seq_provider = SeqCodesProvider(self.fasta, chunks, eng, cfg.window.batch)
 
         def batch_seq_codes(batch):
-            """[B, W + L - 1] uint8 rows starting at win_start - pwm.up."""
-            up = eng.pwm.up
-            wp = eng.seq_codes_width()
-            codes = np.full((cfg.window.batch, wp), 4, dtype=np.uint8)
-            for r, t in enumerate(batch.meta):
-                cid = t.chunk_id
-                chunk = chunks[cid]
-                if cid not in codes_cache:
-                    codes_cache[cid] = chunk_seq_codes(
-                        self.fasta, chunk.chrom,
-                        chunk.start - halo - up,
-                        chunk.end + halo + eng.width + eng.pwm.down,
-                    )
-                cb = codes_cache[cid]
-                a = (t.win_start - up) - (chunk.start - halo - up)
-                seg = cb[max(0, a) : a + wp]
-                dst = max(0, -a)
-                codes[r, dst : dst + len(seg)] = seg
-            return codes
+            return seq_provider.rows(batch.meta)
 
-        # compact download: ONE stacked f32 array per batch — [B, 2, core]
-        # in exact mode (engine._nuc2) or [B, 5, W] legacy (engine._nuc5).
-        # The download link bounds windows/s (~35 MB/s on the relay).
-        sfx = "_c2" if exact else "_c"
+        # compact download: ONE f32 array per batch — norm with smooth
+        # margins [B, core+2m] in exact mode (engine._nucm; the smoothed
+        # track is recomputed on host, models/nuc.py :: host_smooth) or
+        # [B, 5, W] legacy (engine._nuc5). The download link bounds
+        # windows/s (~35 MB/s on the relay).
+        sfx = "_m" if exact else "_c"
         if cfg.window.transfer == "delta" and eng.pwm is not None:
             step = getattr(eng, "nuc_step_delta_seq" + sfx)
 
@@ -291,15 +333,21 @@ class NucStage:
                 cfg.sizes.lower, cfg.sizes.upper,
             )
         for batch, out in _pipelined(batches, dispatch):
-            stacked = np.asarray(out, np.float64)  # [B, 2, core] or [B, 5, W]
-            arrs = {n: stacked[:, i] for i, n in enumerate(names)}
+            if exact:
+                arrs = host_smooth(
+                    np.asarray(out, np.float64), self.engine.smooth_margin(),
+                    self.refinisher.gk,
+                )
+            else:
+                stacked = np.asarray(out, np.float64)  # [B, 5, W]
+                arrs = {n: stacked[:, i] for i, n in enumerate(names)}
             for r, t in enumerate(batch.meta):
                 # exact mode ships core-only columns (col 0 == core_start)
                 col = 0 if exact else t.core_start - t.win_start
                 vals = {n: arrs[n][r] for n in names}
                 for cid, chunk, tracks in asm.add(t, vals, col):
                     bias_cache.pop(cid, None)  # all tiles dispatched; free it
-                    codes_cache.pop(cid, None)
+                    seq_provider.pop(cid)
                     self._finish_chunk(cid, chunk, tracks, occ_lookup, writers, res)
                     if keep_tracks:
                         res.tracks[cid] = tracks

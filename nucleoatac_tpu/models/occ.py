@@ -111,6 +111,18 @@ class OccStage:
         self.cfg = cfg
         self.engine = engine
 
+    def track_names(self) -> List[str]:
+        return ["occ", "lower", "upper"] + (
+            ["cert"] if self.cfg.occ.exact else []
+        )
+
+    def prepare_exact(self, mix: FragmentMixDistribution) -> None:
+        """Float64 host tables for _exact_refinish (also used by the
+        fused occ+nuc driver, models/fused.py)."""
+        if self.cfg.occ.exact:
+            self._m64 = mix.log_mix_table(self.cfg.occ)
+            self._grid64 = mix.alpha_grid(self.cfg.occ)
+
     def run(
         self,
         frags: BamFragments,
@@ -136,11 +148,8 @@ class OccStage:
         tiles = tile_chunks(chunks, cfg.window, cfg.occ, cfg.vmat)
         from nucleoatac_tpu.models.data import ChunkAssembler
 
-        names = ["occ", "lower", "upper"]
-        if cfg.occ.exact:
-            names += ["cert"]
-            self._m64 = mix.log_mix_table(cfg.occ)  # float64 host tables
-            self._grid64 = mix.alpha_grid(cfg.occ)
+        names = self.track_names()
+        self.prepare_exact(mix)
         asm = ChunkAssembler(chunks, names)
         asm.expect(tiles)
         import jax.numpy as jnp

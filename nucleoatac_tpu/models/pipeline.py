@@ -134,33 +134,57 @@ def run_pipeline(
         chunks = ChunkList.read(bed, chrom_dict).merge()
         log.info("peaks: %d chunks, %d bp", len(chunks), chunks.total_bp())
 
-        # --- occ stage (reference run_occ.py) --------------------------
+        # --- occ + nuc stages (reference run_occ.py / run_nuc.py) ------
+        from nucleoatac_tpu.models.fused import fused_supported, run_fused
+
         if resume and _occ_outputs_exist(out_prefix):
             with stage_timer("occ (resumed from files)"):
                 fs, mix, occ_res = _load_occ_stage(out_prefix, cfg, chunks)
                 engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm, mesh=auto_mesh(cfg))
+            with stage_timer("nuc"):
+                nuc_stage = NucStage(cfg, engine, pwm, fasta)
+                nuc_res = nuc_stage.run(
+                    frags, chunks, occ_lookup_from_tracks(occ_res), out_prefix
+                )
+                log.info("nuc: %d dyads (%d redundant)",
+                         len(nuc_res.calls), len(nuc_res.redundant))
         else:
-            with stage_timer("occ"):
+            with stage_timer("fit"):
                 fs, mix = fit_mixture(frags, chunks, cfg)
                 fs.save(f"{out_prefix}.fragmentsizes.txt")
                 mix.save(f"{out_prefix}.occ_fit.txt")
                 if write_plots:
                     plotting.plot_occ_fit(mix, f"{out_prefix}.occ_fit.eps")
                 engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm, mesh=auto_mesh(cfg))
-                occ_stage = OccStage(cfg, engine)
-                occ_res = occ_stage.run(
-                    frags, chunks, mix, fs, out_prefix, keep_tracks=True
-                )
-                log.info("occ: %d occ peaks", len(occ_res.peaks))
-
-        # --- nuc stage (reference run_nuc.py) --------------------------
-        with stage_timer("nuc"):
+            occ_stage = OccStage(cfg, engine)
             nuc_stage = NucStage(cfg, engine, pwm, fasta)
-            nuc_res = nuc_stage.run(
-                frags, chunks, occ_lookup_from_tracks(occ_res), out_prefix
-            )
-            log.info("nuc: %d dyads (%d redundant)",
-                     len(nuc_res.calls), len(nuc_res.redundant))
+            if fused_supported(cfg, engine):
+                # one upload + one download per batch for BOTH stages
+                # (models/fused.py) — outputs byte-identical to the
+                # two-pass path, at roughly half the wire bytes
+                with stage_timer("occ+nuc (fused pass)"):
+                    occ_res, nuc_res = run_fused(
+                        cfg, engine, occ_stage, nuc_stage, frags, chunks,
+                        mix, fs, out_prefix, keep_tracks=False,
+                    )
+                    log.info(
+                        "occ: %d occ peaks; nuc: %d dyads (%d redundant)",
+                        len(occ_res.peaks), len(nuc_res.calls),
+                        len(nuc_res.redundant),
+                    )
+            else:
+                with stage_timer("occ"):
+                    occ_res = occ_stage.run(
+                        frags, chunks, mix, fs, out_prefix, keep_tracks=True
+                    )
+                    log.info("occ: %d occ peaks", len(occ_res.peaks))
+                with stage_timer("nuc"):
+                    nuc_res = nuc_stage.run(
+                        frags, chunks, occ_lookup_from_tracks(occ_res),
+                        out_prefix,
+                    )
+                    log.info("nuc: %d dyads (%d redundant)",
+                             len(nuc_res.calls), len(nuc_res.redundant))
         np.savetxt(
             f"{out_prefix}.nuc_dist.txt", nuc_res.nuc_dist[None], fmt="%d",
             delimiter="\t",
