@@ -43,6 +43,90 @@ _SHARD_SUFFIXES = [
 ]
 
 
+def _run_fingerprint(bam: str, bed: str, cfg: RunConfig) -> str:
+    """Identity of a logical run: inputs + config. Shards from a different
+    run (stale leftovers, changed flags) must never merge silently."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    h.update(repr(cfg).encode())
+    for p in (bam, bed):
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def _write_manifest(shard_prefix: str, pid: int, nhosts: int, fp: str) -> None:
+    """Written AFTER every shard file is closed — its presence certifies a
+    complete, fresh shard (VERDICT r1 item 10)."""
+    import hashlib
+    import json
+    import os
+
+    files = {}
+    for suffix in _SHARD_SUFFIXES + [".nuc_dist.txt"]:
+        p = shard_prefix + suffix
+        md5 = hashlib.md5()
+        with open(p, "rb") as fh:
+            for block in iter(lambda: fh.read(1 << 20), b""):
+                md5.update(block)
+        files[suffix] = {"size": os.path.getsize(p), "md5": md5.hexdigest()}
+    with open(shard_prefix + ".manifest.json", "w") as fh:
+        json.dump(
+            {"host_id": pid, "num_hosts": nhosts, "fingerprint": fp,
+             "files": files},
+            fh,
+        )
+
+
+def check_manifests(out_prefix: str, nhosts: int, fp: str) -> None:
+    """Refuse to merge unless every host wrote a complete, matching
+    manifest and every shard file still matches it (crashed hosts leave
+    no manifest; stale shards from another run carry the wrong
+    fingerprint; truncated/modified files fail size/md5)."""
+    import hashlib
+    import json
+    import os
+
+    for k in range(nhosts):
+        mpath = f"{out_prefix}.part{k}.manifest.json"
+        if not os.path.exists(mpath):
+            raise RuntimeError(
+                f"finalize: missing shard manifest {mpath} — host {k} did "
+                f"not complete; refusing to merge"
+            )
+        with open(mpath) as fh:
+            m = json.load(fh)
+        if m.get("num_hosts") != nhosts or m.get("host_id") != k:
+            raise RuntimeError(
+                f"finalize: manifest {mpath} is for host {m.get('host_id')}"
+                f"/{m.get('num_hosts')} hosts, expected {k}/{nhosts}"
+            )
+        if m.get("fingerprint") != fp:
+            raise RuntimeError(
+                f"finalize: manifest {mpath} fingerprint {m.get('fingerprint')}"
+                f" != this run's {fp} — stale shards from a different "
+                f"run/config; refusing to merge"
+            )
+        for suffix, want in m["files"].items():
+            p = f"{out_prefix}.part{k}{suffix}"
+            if not os.path.exists(p) or os.path.getsize(p) != want["size"]:
+                raise RuntimeError(
+                    f"finalize: shard {p} missing or size-mismatched vs "
+                    "its manifest; refusing to merge"
+                )
+            md5 = hashlib.md5()
+            with open(p, "rb") as fh:
+                for block in iter(lambda: fh.read(1 << 20), b""):
+                    md5.update(block)
+            if md5.hexdigest() != want["md5"]:
+                raise RuntimeError(
+                    f"finalize: shard {p} checksum mismatch vs its "
+                    "manifest; refusing to merge"
+                )
+
+
 def run_distributed(
     bam: str,
     bed: str,
@@ -91,6 +175,7 @@ def run_distributed(
         f"{shard_prefix}.nuc_dist.txt", nuc_res.nuc_dist[None], fmt="%d",
         delimiter="\t",
     )
+    _write_manifest(shard_prefix, pid, nhosts, _run_fingerprint(bam, bed, cfg))
 
     # Finalize here only when we can know every host is done: single host,
     # or a real jax.distributed barrier. External launchers (e.g. slurm)
@@ -130,10 +215,13 @@ def finalize_shards(
     cfg: RunConfig,
 ) -> None:
     """Concatenate per-host shards (rebuilding tabix), sum nuc_dist, then
-    run the host-side merge + nfr stages on the combined outputs."""
+    run the host-side merge + nfr stages on the combined outputs. Refuses
+    to merge unless every shard carries a complete, fresh manifest
+    (check_manifests — VERDICT r1 item 10)."""
     import argparse
     import os
 
+    check_manifests(out_prefix, nhosts, _run_fingerprint(bam, bed, cfg))
     for suffix in _SHARD_SUFFIXES:
         merge_host_shards(out_prefix, suffix, nhosts)
     dist = None
@@ -142,6 +230,7 @@ def finalize_shards(
         d = np.loadtxt(p, ndmin=2)
         dist = d if dist is None else dist + d
         os.remove(p)
+        os.remove(f"{out_prefix}.part{k}.manifest.json")
     np.savetxt(f"{out_prefix}.nuc_dist.txt", dist, fmt="%d", delimiter="\t")
 
     from nucleoatac_tpu.models.standalone import run_merge, run_nfr

@@ -71,8 +71,10 @@ class DeviceEngine:
         mesh=None,
         use_pallas: bool = False,
         pwm=None,
+        conv_mode: str = "diag",
     ):
         self.cfg = cfg
+        self.conv_mode = conv_mode
         self.width = cfg.window.width(cfg.occ, cfg.vmat)
         self.halo = cfg.window.halo(cfg.occ, cfg.vmat)
         # Occupancy tables (float64 host -> float32 constants).
@@ -91,6 +93,9 @@ class DeviceEngine:
         self.f_kernels, self.b_kernels = build_kernels(
             self.vmat.mat, cfg.nuc.v_floor
         )
+        from nucleoatac_tpu.ops.xcorr import build_kernels_diag
+
+        self._diag_kernels = build_kernels_diag(self.vmat.mat, cfg.nuc.v_floor)
         # genome-wide nuc-range size distribution q(s) (DESIGN.md §6)
         h = fragmentsizes.get(cfg.vmat.lower, cfg.vmat.upper).astype(np.float64)
         tot = h.sum()
@@ -274,7 +279,12 @@ class DeviceEngine:
         )
 
     def _convs_impl(self, mat, b0):
-        """Full-size-range mat -> nuc-range conv stacks, dyad-aligned."""
+        """Full-size-range mat -> nuc-range conv stacks, dyad-aligned.
+
+        Default path is the diag-matmul restructure (ops/xcorr.py ::
+        nuc_conv_outputs_diag — MXU-shaped, ~4x the direct conv's
+        throughput); conv_mode='direct' keeps the original two XLA convs
+        for comparison."""
         vlo = self.cfg.vmat.lower - self.cfg.sizes.lower
         vup = self.cfg.vmat.upper - self.cfg.sizes.lower
         fmat = mat[:, vlo:vup, :].astype(jnp.float32)
@@ -282,6 +292,11 @@ class DeviceEngine:
         half = K // 2
         W = fmat.shape[2]
         pad = ((0, 0), (0, 0), (half, W - half - (W - K + 1)))
+        if self.conv_mode == "diag":
+            from nucleoatac_tpu.ops.xcorr import nuc_conv_outputs_diag
+
+            fo, bo = nuc_conv_outputs_diag(fmat, b0, *self._diag_kernels)
+            return jnp.pad(fo, pad), jnp.pad(bo, pad)
         fo = jnp.pad(_conv_stack(fmat, self.f_kernels), pad)
         bo = jnp.pad(_conv_stack(b0, self.b_kernels), pad)
         return fo, bo

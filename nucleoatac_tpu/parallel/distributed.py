@@ -54,13 +54,18 @@ def host_tile_slice(tiles: Sequence, process_id: int, num_processes: int) -> Lis
 def merge_host_shards(out_prefix: str, suffix: str, num_processes: int) -> None:
     """Concatenate per-host BGZF shards `<prefix>.part<k><suffix>` into
     `<prefix><suffix>` (BGZF members concatenate losslessly; the EOF
-    blocks of intermediate shards are legal empty members)."""
+    blocks of intermediate shards are legal empty members). Streams in
+    1 MB blocks — shards are genome-scale."""
     dst = f"{out_prefix}{suffix}"
     with open(dst, "wb") as out:
         for k in range(num_processes):
             part = f"{out_prefix}.part{k}{suffix}"
             with open(part, "rb") as fh:
-                out.write(fh.read())
+                while True:
+                    block = fh.read(1 << 20)
+                    if not block:
+                        break
+                    out.write(block)
             os.remove(part)
             tbi = part + ".tbi"
             if os.path.exists(tbi):
@@ -70,13 +75,14 @@ def merge_host_shards(out_prefix: str, suffix: str, num_processes: int) -> None:
 
 def rebuild_tabix(path: str) -> None:
     """Re-index a merged BGZF text file (concatenation invalidates the
-    per-shard virtual offsets, so the index is rebuilt from scratch)."""
-    from nucleoatac_tpu.io.bgzf import read_bgzf
+    per-shard virtual offsets, so the index is rebuilt from scratch).
+    Streams line-by-line — constant memory at genome scale."""
+    from nucleoatac_tpu.io.bgzf import iter_bgzf_lines
     from nucleoatac_tpu.io.tabix import TabixWriter
 
     tmp = path + ".reindex"
     with TabixWriter(tmp) as w:
-        for line in read_bgzf(path).decode().splitlines():
+        for line in iter_bgzf_lines(path):
             if not line:
                 continue
             f = line.split("\t")

@@ -52,3 +52,47 @@ def test_two_host_shards_equal_single_run(ex, tmp_path_factory):
     s = np.loadtxt(single + ".nuc_dist.txt", ndmin=2)
     m = np.loadtxt(multi + ".nuc_dist.txt", ndmin=2)
     np.testing.assert_array_equal(s, m)
+
+
+def test_finalize_refuses_incomplete_or_stale_shards(ex, tmp_path_factory):
+    """VERDICT r1 item 10: --finalize must not silently merge shards from
+    a crashed host (missing manifest) or a different run (fingerprint)."""
+    import json
+
+    from nucleoatac_tpu.config import RunConfig
+    from nucleoatac_tpu.models.distributed_pipeline import finalize_shards
+
+    d = tmp_path_factory.mktemp("guard")
+    multi = str(d / "multi")
+    run_distributed(ex["bam"], ex["bed"], multi, fasta_path=ex["fasta"],
+                    host_id=0, num_hosts=2)
+    # host 1 "crashed": no shard, no manifest
+    with pytest.raises(RuntimeError, match="did not complete"):
+        finalize_shards(multi, 2, ex["bam"], ex["bed"], ex["fasta"], None,
+                        RunConfig())
+    # host 1 present but its manifest carries a different fingerprint
+    run_distributed(ex["bam"], ex["bed"], multi, fasta_path=ex["fasta"],
+                    host_id=1, num_hosts=2)
+    mpath = multi + ".part1.manifest.json"
+    m = json.load(open(mpath))
+    m["fingerprint"] = "deadbeefdeadbeef"
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(RuntimeError, match="stale"):
+        finalize_shards(multi, 2, ex["bam"], ex["bed"], ex["fasta"], None,
+                        RunConfig())
+    # corrupted shard bytes fail the checksum
+    run_distributed(ex["bam"], ex["bed"], multi, fasta_path=ex["fasta"],
+                    host_id=1, num_hosts=2)
+    p = multi + ".part1.nucpos.bed.gz"
+    raw = bytearray(open(p, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(RuntimeError, match="checksum|size"):
+        finalize_shards(multi, 2, ex["bam"], ex["bed"], ex["fasta"], None,
+                        RunConfig())
+    # intact shards merge fine
+    run_distributed(ex["bam"], ex["bed"], multi, fasta_path=ex["fasta"],
+                    host_id=1, num_hosts=2)
+    finalize_shards(multi, 2, ex["bam"], ex["bed"], ex["fasta"], None,
+                    RunConfig())
+    assert os.path.exists(multi + ".nfrpos.bed.gz")

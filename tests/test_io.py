@@ -114,3 +114,39 @@ def test_fasta_roundtrip(tmp_path):
     # .fai is used when present: corrupt it and confirm it is honored
     fa2 = FastaFile(path)
     assert fa2.fetch("c2", 0, 16) == seqs["c2"][:16]
+
+
+def test_indexed_tabix_fetch_matches_full_scan(tmp_path):
+    """The index-backed TabixReader (seek via bins + linear index) returns
+    exactly the rows of a full in-memory scan, at constant memory."""
+    import os
+
+    import numpy as np
+
+    from nucleoatac_tpu.io.tabix import TabixReader, TabixWriter
+
+    rng = np.random.default_rng(5)
+    path = str(tmp_path / "big.bed.gz")
+    rows = []
+    with TabixWriter(path) as w:
+        for chrom in ("chr1", "chr2"):
+            pos = np.cumsum(rng.integers(1, 400, size=4000))
+            for s in pos:
+                e = int(s) + int(rng.integers(1, 300))
+                line = f"{chrom}\t{s}\t{e}\tv{s % 97}"
+                rows.append((chrom, int(s), e, line))
+                w.add(chrom, int(s), e, line)
+    indexed = TabixReader(path)
+    assert indexed.rows is None  # index was used
+    # unindexed fallback = oracle
+    os.rename(path + ".tbi", path + ".tbi.bak")
+    full = TabixReader(path)
+    assert full.rows is not None
+    os.rename(path + ".tbi.bak", path + ".tbi")
+    for chrom, start, end in [
+        ("chr1", 0, 10), ("chr1", 50_000, 60_000), ("chr1", 0, 10**9),
+        ("chr2", 123_456, 234_567), ("chr3", 0, 100), ("chr2", 799_000, 799_001),
+    ]:
+        got = ["\t".join(f) for f in indexed.fetch(chrom, start, end)]
+        want = ["\t".join(f) for f in full.fetch(chrom, start, end)]
+        assert got == want, (chrom, start, end, len(got), len(want))

@@ -149,3 +149,50 @@ def test_peaks_match_mirror(rng):
         sel_r = mirror.greedy_select(x[b], cand_r, sep)
         got = sorted(pos_d[b][val_d[b]].tolist())
         assert got == sel_r
+
+
+def test_diag_conv_path_matches_direct_and_mirror(rng):
+    """The MXU-shaped diag-matmul conv restructure (ops/xcorr.py ::
+    nuc_conv_outputs_diag) must agree with the direct conv stacks and
+    with the f64 mirror's eight footprint reductions."""
+    import jax
+
+    from nucleoatac_tpu.mirror.windows import _corr_rows
+    from nucleoatac_tpu.ops.xcorr import (
+        _conv_stack,
+        build_kernels,
+        build_kernels_diag,
+        nuc_conv_outputs_diag,
+    )
+
+    S, K, W, B = 146, 147, 512, 3
+    V = np.exp(-0.5 * ((np.arange(S)[:, None] - 70) / 25.0) ** 2) * np.exp(
+        -0.5 * ((np.arange(K)[None, :] - K // 2) / 30.0) ** 2
+    ) + 1e-4
+    fmat = rng.poisson(0.05, size=(B, S, W)).astype(np.float64)
+    b0 = (rng.random((B, S, W)) * 1e-3).astype(np.float64)
+    fk, bk = build_kernels(V)
+    diag = build_kernels_diag(V)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    fo_d, bo_d = nuc_conv_outputs_diag(f32(fmat), f32(b0), *map(jnp.asarray, diag))
+    fo = np.asarray(_conv_stack(f32(fmat), jnp.asarray(fk)))
+    bo = np.asarray(_conv_stack(f32(b0), jnp.asarray(bk)))
+    np.testing.assert_allclose(np.asarray(fo_d), fo, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(bo_d), bo, rtol=1e-4, atol=1e-6)
+    # and directly vs the f64 mirror reductions
+    logv = np.log(np.maximum(V, 1e-5))
+    offs = (np.arange(K, dtype=np.float64) - K // 2) * np.ones((S, 1))
+    for b in range(B):
+        for ch, kern in ((0, V), (1, np.ones_like(V)), (2, logv),
+                         (3, offs), (4, offs * offs)):
+            ref = _corr_rows(fmat[b], kern)
+            np.testing.assert_allclose(
+                np.asarray(fo_d)[b, ch], ref, rtol=2e-4, atol=2e-3,
+                err_msg=f"f ch{ch}",
+            )
+        for ch, kern in ((0, np.ones_like(V)), (1, V), (2, V * V)):
+            ref = _corr_rows(b0[b], kern)
+            np.testing.assert_allclose(
+                np.asarray(bo_d)[b, ch], ref, rtol=2e-4, atol=1e-6,
+                err_msg=f"b ch{ch}",
+            )
