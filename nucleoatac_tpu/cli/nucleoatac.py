@@ -112,6 +112,9 @@ def nucleoatac_parser() -> argparse.ArgumentParser:
     _common(pr)
     _tune(pr)
     pr.add_argument("--vmat", default=None, help="V-plot template (default built-in)")
+    pr.add_argument("--bias_track", default=None, metavar="BEDGRAPH_GZ",
+                    help="precomputed per-bp log-bias track (pyatac bias "
+                    "output) used instead of FASTA+PWM scoring")
     pr.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax profiler trace to DIR")
     pr.add_argument("--num_hosts", type=int, default=None,
@@ -148,6 +151,9 @@ def nucleoatac_parser() -> argparse.ArgumentParser:
         help="prefix of a prior `occ` run (defaults to --out)",
     )
     pn.add_argument("--sizes", default=None, help="fragmentsizes.txt from occ run")
+    pn.add_argument("--bias_track", default=None, metavar="BEDGRAPH_GZ",
+                    help="precomputed per-bp log-bias track (pyatac bias "
+                    "output) used instead of FASTA+PWM scoring")
 
     pm = sub.add_parser("merge", help="merge occpeaks + nucpos")
     pm.add_argument("--occpeaks", required=True)
@@ -160,6 +166,9 @@ def nucleoatac_parser() -> argparse.ArgumentParser:
     _tune(pf)
     pf.add_argument("--occ_track_prefix", default=None)
     pf.add_argument("--calls", default=None, help="nucmap_combined.bed.gz")
+    pf.add_argument("--bias_track", default=None, metavar="BEDGRAPH_GZ",
+                    help="precomputed per-bp log-bias track (pyatac bias "
+                    "output) used instead of FASTA+PWM scoring")
     return p
 
 
@@ -194,6 +203,7 @@ def main(argv=None) -> int:
             fasta_path=args.fasta, pwm_path=args.pwm, vmat_path=args.vmat,
             cfg=build_config(args), write_plots=not args.no_plots,
             profile_dir=args.profile, resume=args.resume,
+            bias_track=args.bias_track,
         )
         return 0
     if args.command == "occ":
@@ -216,6 +226,7 @@ def main(argv=None) -> int:
             from nucleoatac_tpu.utils import plotting
 
             plotting.plot_vmat(v, f"{args.out}.VMat.eps")
+            plotting.plot_vmat_1d(v, f"{args.out}.VMat.1d.eps")
         return 0
     if args.command == "nuc":
         from nucleoatac_tpu.models.standalone import run_nuc

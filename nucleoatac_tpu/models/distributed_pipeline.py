@@ -127,6 +127,40 @@ def check_manifests(out_prefix: str, nhosts: int, fp: str) -> None:
                 )
 
 
+def fit_mixture_distributed(frags, all_chunks, cfg, pid: int, nhosts: int):
+    """Genome-wide size histogram + mixture fit, sharded across hosts.
+
+    Under a live jax.distributed runtime each host bins only ITS chunk
+    shard and the global histogram comes from one cross-host collective
+    (allgather + ordered sum — deterministic), removing the
+    O(hosts x genome) startup of every host binning every chunk (VERDICT
+    r1 item 7). File-shard launchers without a collective runtime fall
+    back to each host computing the identical full fit."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return fit_mixture(frags, all_chunks, cfg)
+
+    from jax.experimental import multihost_utils
+
+    from nucleoatac_tpu.core.fragmentsizes import FragmentSizes
+    from nucleoatac_tpu.core.mixture import FragmentMixDistribution
+
+    local = ChunkList(host_tile_slice(all_chunks.chunks, pid, nhosts))
+    fs_local = FragmentSizes(cfg.sizes.lower, cfg.sizes.upper)
+    for c in local:
+        _, sizes = frags.window(c.chrom, c.start, c.end)
+        fs_local.add_sizes(sizes)
+    counts = np.asarray(fs_local.vals, np.int64)
+    gathered = np.asarray(multihost_utils.process_allgather(counts))
+    total = gathered.sum(axis=0)  # fixed host order -> deterministic
+    fs = FragmentSizes(cfg.sizes.lower, cfg.sizes.upper, total)
+    mix = FragmentMixDistribution(
+        cfg.sizes.lower, cfg.sizes.upper, cfg.mixture
+    ).fit(fs)
+    return fs, mix
+
+
 def run_distributed(
     bam: str,
     bed: str,
@@ -151,9 +185,7 @@ def run_distributed(
     vmat = VMat.open(vmat_path) if vmat_path else VMat.default(cfg.vmat)
     all_chunks = ChunkList.read(bed, frags.chrom_dict).merge()
 
-    # genome-wide fit is deterministic and shared: every host computes it
-    # from the same full chunk list (replicated "parameters")
-    fs, mix = fit_mixture(frags, all_chunks, cfg)
+    fs, mix = fit_mixture_distributed(frags, all_chunks, cfg, pid, nhosts)
     if pid == 0:
         fs.save(f"{out_prefix}.fragmentsizes.txt")
         mix.save(f"{out_prefix}.occ_fit.txt")

@@ -58,14 +58,19 @@ def call_nfrs(
     cfg: RunConfig,
     chunks: ChunkList,
     combined: Sequence[CombinedEntry],
-    occ_tracks: Dict[int, Dict[str, np.ndarray]],
+    occ_tracks,  # Mapping cid -> {occ, lower, upper}; .get(cid) may be lazy
     frags: BamFragments,
     pwm: Optional[PWM] = None,
     fasta: Optional[FastaFile] = None,
     out_path: Optional[str] = None,
+    bias_fn: Optional[Callable[[str, int, int], np.ndarray]] = None,
 ) -> List[NFR]:
     p = cfg.nfr
     pwm = pwm or PWM.default()
+    if bias_fn is None:
+        bias_fn = lambda chrom, lo, hi: chunk_log_bias(  # noqa: E731
+            fasta, pwm, chrom, lo, hi
+        )
     by_chrom: Dict[str, List[int]] = {}
     for e in combined:
         by_chrom.setdefault(e.chrom, []).append(e.pos)
@@ -105,7 +110,7 @@ def call_nfrs(
             max_up = float(upper[i0:i1].max()) if i1 > i0 else 1.0
             mean_occ = float(occ[i0:i1].mean())
             ins = frags.insertions_in(chunk.chrom, s, e)
-            logb = chunk_log_bias(fasta, pwm, chunk.chrom, s, e)
+            logb = bias_fn(chunk.chrom, s, e)
             out.append(
                 NFR(
                     chunk.chrom, s, e, mean_occ, max_up,

@@ -92,6 +92,28 @@ def chunk_seq_codes(
     return out
 
 
+class BiasTrackSource:
+    """Precomputed per-bp log-bias input (reference: InsertionBiasTrack
+    can read a prior bias bedgraph instead of recomputing from FASTA+PWM —
+    SURVEY.md §3.1; VERDICT r1 missing item 3). Reads the tabixed
+    bedgraph `pyatac bias` writes; positions absent from the track get
+    log-bias 0 (uniform)."""
+
+    def __init__(self, path: str):
+        from nucleoatac_tpu.io.tabix import TabixReader
+
+        self.reader = TabixReader(path)
+
+    def log_bias(self, chrom: str, lo: int, hi: int) -> np.ndarray:
+        out = np.zeros(hi - lo, dtype=np.float64)
+        if hi <= 0:
+            return out
+        for f in self.reader.fetch(chrom, max(0, lo), hi):
+            s, e, v = int(f[1]), int(f[2]), float(f[3])
+            out[max(s, lo) - lo : max(0, min(e, hi) - lo)] = v
+        return out
+
+
 def chunk_log_bias(
     fasta: Optional[FastaFile], pwm: PWM, chrom: str, lo: int, hi: int
 ) -> np.ndarray:
@@ -172,11 +194,19 @@ class NucStage:
         engine: DeviceEngine,
         pwm: Optional[PWM] = None,
         fasta: Optional[FastaFile] = None,
+        bias_source: Optional[BiasTrackSource] = None,
     ):
         self.cfg = cfg
         self.engine = engine
         self.pwm = pwm or PWM.default()
         self.fasta = fasta
+        self.bias_source = bias_source
+        if bias_source is not None:
+            self.bias_fn = bias_source.log_bias
+        else:
+            self.bias_fn = lambda chrom, lo, hi: chunk_log_bias(
+                self.fasta, self.pwm, chrom, lo, hi
+            )
         self.refinisher = None
         if cfg.nuc.exact:
             from nucleoatac_tpu.models.nuc_exact import NucRefinisher
@@ -247,16 +277,19 @@ class NucStage:
                 cid = t.chunk_id
                 chunk = chunks[cid]
                 if cid not in bias_cache:
-                    bias_cache[cid] = chunk_log_bias(
-                        self.fasta, self.pwm, chunk.chrom,
-                        chunk.start - halo, chunk.end + halo,
+                    # span covers EVERY window of the chunk fully (like the
+                    # seq-codes path) so last-tile windows see real bias
+                    # instead of zero-padding — keeps the device tracks
+                    # within exact_tol of the f64 oracle at chunk edges
+                    bias_cache[cid] = self.bias_fn(
+                        chunk.chrom, chunk.start - halo,
+                        chunk.end + halo + eng.width,
                     )
                 cb = bias_cache[cid]
                 cb_start = chunk.start - halo
                 a = t.win_start - cb_start
-                seg = cb[max(0, a) : a + eng.width]
-                dst = max(0, -a)
-                logb[r, dst : dst + len(seg)] = seg
+                seg = cb[a : a + eng.width]
+                logb[r, : len(seg)] = seg
             return logb
 
         # per-chunk sequence-code caches (device PWM bias path)
@@ -271,7 +304,10 @@ class NucStage:
         # [B, 5, W] legacy (engine._nuc5). The download link bounds
         # windows/s (~35 MB/s on the relay).
         sfx = "_m" if exact else "_c"
-        if cfg.window.transfer == "delta" and eng.pwm is not None:
+        # a precomputed bias track forces the log-bias upload path (the
+        # on-device PWM would recompute bias from sequence)
+        seq_ok = eng.pwm is not None and self.bias_source is None
+        if cfg.window.transfer == "delta" and seq_ok:
             step = getattr(eng, "nuc_step_delta_seq" + sfx)
 
             def dispatch(batch):
@@ -290,7 +326,7 @@ class NucStage:
                 )
 
             batches = make_delta_batches(frags, tiles, eng.width, cfg.window.batch)
-        elif cfg.window.transfer == "packed" and eng.pwm is not None:
+        elif cfg.window.transfer == "packed" and seq_ok:
             step = getattr(eng, "nuc_step_packed_seq" + sfx)
 
             def dispatch(batch):
@@ -406,9 +442,9 @@ class NucStage:
         starting at chunk.start - halo (same sequence span the device
         seq-codes path sees)."""
         halo = self.engine.halo
-        return chunk_log_bias(
-            self.fasta, self.pwm, chunk.chrom,
-            chunk.start - halo, chunk.end + halo + self.engine.width,
+        return self.bias_fn(
+            chunk.chrom, chunk.start - halo,
+            chunk.end + halo + self.engine.width,
         )
 
     def _select_exact(self, cid, chunk, tracks, occ_lookup, res):

@@ -117,10 +117,13 @@ def run_pipeline(
     write_plots: bool = True,
     profile_dir: Optional[str] = None,
     resume: bool = False,
+    bias_track: Optional[str] = None,
 ) -> RunResult:
+    from nucleoatac_tpu.models.standalone import warn_synthetic_defaults
     from nucleoatac_tpu.utils.logging import log, maybe_profile, stage_timer
 
     cfg = cfg or RunConfig()
+    warn_synthetic_defaults(pwm_path, vmat_path, bias_track, needs_vmat=True)
     with maybe_profile(profile_dir):
         with stage_timer("ingest"):
             frags = scan_bam(bam, cfg.ingest)
@@ -129,6 +132,11 @@ def run_pipeline(
         fasta = FastaFile(fasta_path) if fasta_path else None
         pwm = PWM.open(pwm_path) if pwm_path else PWM.default()
         vmat = VMat.open(vmat_path) if vmat_path else VMat.default(cfg.vmat)
+        bias_source = None
+        if bias_track:
+            from nucleoatac_tpu.models.nuc import BiasTrackSource
+
+            bias_source = BiasTrackSource(bias_track)
 
         chrom_dict = frags.chrom_dict
         chunks = ChunkList.read(bed, chrom_dict).merge()
@@ -140,9 +148,12 @@ def run_pipeline(
         if resume and _occ_outputs_exist(out_prefix):
             with stage_timer("occ (resumed from files)"):
                 fs, mix, occ_res = _load_occ_stage(out_prefix, cfg, chunks)
-                engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm, mesh=auto_mesh(cfg))
+                engine = DeviceEngine(
+                    cfg, mix, fs, vmat, pwm=None if bias_source else pwm,
+                    mesh=auto_mesh(cfg),
+                )
             with stage_timer("nuc"):
-                nuc_stage = NucStage(cfg, engine, pwm, fasta)
+                nuc_stage = NucStage(cfg, engine, pwm, fasta, bias_source=bias_source)
                 nuc_res = nuc_stage.run(
                     frags, chunks, occ_lookup_from_tracks(occ_res), out_prefix
                 )
@@ -155,9 +166,12 @@ def run_pipeline(
                 mix.save(f"{out_prefix}.occ_fit.txt")
                 if write_plots:
                     plotting.plot_occ_fit(mix, f"{out_prefix}.occ_fit.eps")
-                engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm, mesh=auto_mesh(cfg))
+                engine = DeviceEngine(
+                    cfg, mix, fs, vmat, pwm=None if bias_source else pwm,
+                    mesh=auto_mesh(cfg),
+                )
             occ_stage = OccStage(cfg, engine)
-            nuc_stage = NucStage(cfg, engine, pwm, fasta)
+            nuc_stage = NucStage(cfg, engine, pwm, fasta, bias_source=bias_source)
             if fused_supported(cfg, engine):
                 # one upload + one download per batch for BOTH stages
                 # (models/fused.py) — outputs byte-identical to the
@@ -203,6 +217,7 @@ def run_pipeline(
             nfrs = call_nfrs(
                 cfg, chunks, combined, occ_res.tracks, frags, pwm, fasta,
                 f"{out_prefix}.nfrpos.bed.gz",
+                bias_fn=bias_source.log_bias if bias_source else None,
             )
             log.info("nfr: %d NFRs; combined map: %d", len(nfrs), len(combined))
     return RunResult(occ_res, nuc_res, combined, nfrs)

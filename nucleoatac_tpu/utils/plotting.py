@@ -59,3 +59,22 @@ def plot_nuc_dist(dist: np.ndarray, path: str) -> None:
     fig.tight_layout()
     fig.savefig(path)
     plt.close(fig)
+
+def plot_vmat_1d(vmat, path: str) -> None:
+    """1-D projections of the template (reference VMat.plot_1d,
+    SURVEY.md §3.2): the position profile (insertion footprint around the
+    dyad) and the size profile."""
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(8, 3.2))
+    pos = vmat.position_profile()
+    x = np.arange(len(pos)) - vmat.width // 2
+    ax1.plot(x, pos, "k-")
+    ax1.set_xlabel("position relative to dyad (bp)")
+    ax1.set_ylabel("density")
+    ax1.set_title("position profile")
+    sz = vmat.size_profile()
+    ax2.plot(np.arange(vmat.lower, vmat.upper), sz, "k-")
+    ax2.set_xlabel("fragment size (bp)")
+    ax2.set_title("size profile")
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)

@@ -128,3 +128,55 @@ def test_pyatac_signal_and_nucleotide(ex, tmp_path_factory):
     assert len(rows) == 42
     freqs = np.array([[float(x) for x in r.split("\t")[1:]] for r in rows[1:]])
     np.testing.assert_allclose(freqs.sum(axis=1), 1.0, atol=1e-9)
+
+
+def test_bias_track_input_matches_fasta_pwm(tmp_path):
+    """`--bias_track` (pyatac bias output) reproduces the FASTA+PWM path:
+    same dyad positions, stats equal to the bedgraph's 5-decimal bias
+    quantization (reference InsertionBiasTrack read path)."""
+    import gzip
+
+    import numpy as np
+
+    from nucleoatac_tpu.cli.nucleoatac import main as nucleoatac_main
+    from nucleoatac_tpu.cli.pyatac import main as pyatac_main
+    from tests.synth import make_example
+
+    ex = make_example(tmp_path)
+    common = [
+        "--bed", ex["bed"], "--bam", ex["bam"], "--batch", "4",
+        "--no_plots",
+    ]
+    # direct FASTA+PWM run
+    direct = str(tmp_path / "direct")
+    assert nucleoatac_main(
+        ["run", *common, "--fasta", ex["fasta"], "--out", direct]
+    ) == 0
+    # precompute the bias track, then run with it
+    assert pyatac_main(
+        ["bias", "--fasta", ex["fasta"], "--bed", ex["bed"],
+         "--out", str(tmp_path / "b")]
+    ) == 0
+    via = str(tmp_path / "via")
+    assert nucleoatac_main(
+        ["run", *common, "--fasta", ex["fasta"], "--out", via,
+         "--bias_track", str(tmp_path / "b") + ".Scores.bedgraph.gz"]
+    ) == 0
+
+    def rows(p):
+        with gzip.open(p, "rt") as fh:
+            return [line.split("\t") for line in fh.read().splitlines()]
+
+    a = rows(direct + ".nucpos.bed.gz")
+    b = rows(via + ".nucpos.bed.gz")
+    assert [r[1] for r in a] == [r[1] for r in b]  # same dyads
+    for ra, rb in zip(a, b):
+        for j in (3, 7, 9):  # z, lr, signal: bias-dependent stats
+            np.testing.assert_allclose(
+                float(ra[j]), float(rb[j]), rtol=1e-3, atol=1e-3
+            )
+    # occ outputs are bias-independent: byte-identical
+    assert (
+        gzip.open(direct + ".occ.bedgraph.gz", "rb").read()
+        == gzip.open(via + ".occ.bedgraph.gz", "rb").read()
+    )
