@@ -30,6 +30,44 @@ _lib.nucio_copy_frags.argtypes = [
     ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
 ]
 _lib.nucio_free.argtypes = [ctypes.c_void_p]
+try:
+    _lib.nucio_encode_delta.restype = ctypes.c_int
+    _lib.nucio_encode_delta.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
+    HAS_ENCODE_DELTA = True
+except AttributeError:  # stale .so without the symbol
+    HAS_ENCODE_DELTA = False
+
+
+def encode_delta_native(
+    mids: np.ndarray, sizes: np.ndarray, counts: np.ndarray, out: np.ndarray
+) -> None:
+    """C++ batch delta-encode (see nucio.cpp :: nucio_encode_delta).
+
+    mids/sizes: [B, F] int32 C-contiguous, window-relative, sorted per
+    row; counts: [B] int64 valid fragments per row; out: ZEROED
+    [B, n_entries, 2] uint8."""
+    B, F = mids.shape
+    rc = _lib.nucio_encode_delta(
+        mids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        B, F,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.shape[1],
+    )
+    if rc == -1:
+        raise ValueError(
+            f"delta-encode overflow: a window needs more than "
+            f"{out.shape[1]} entries; raise frag_cap"
+        )
+    if rc == -2:
+        raise ValueError(
+            "encode_delta requires midpoint-sorted mids >= 0"
+        )
 
 
 def scan_bam_native(

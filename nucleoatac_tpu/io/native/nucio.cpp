@@ -258,4 +258,41 @@ void nucio_copy_frags(NucioBam* b, int i, int32_t* lefts, int32_t* sizes) {
 }
 void nucio_free(NucioBam* b) { delete b; }
 
+// Batch delta-encoder for the device wire format (models/data.py ::
+// DeltaBatch): entry = (delta, size) uint8 pair, gaps > 255 bp split
+// into (255, 0) skip entries, size == 0 marks skip/padding. Semantics
+// identical to the numpy encode_delta_fragments (nskip = d / 255, real
+// entry advances d % 255). `out` [B, n_entries, 2] must be ZEROED by the
+// caller (padding relies on the zero size bytes). counts[b] = valid
+// fragments in row b of the [B, F] mids/sizes arrays.
+// Returns 0 ok, -1 entry overflow, -2 unsorted/negative midpoints.
+int nucio_encode_delta(const int32_t* mids, const int32_t* sizes,
+                       const int64_t* counts, int B, int F,
+                       uint8_t* out, int n_entries) {
+  for (int b = 0; b < B; ++b) {
+    const int32_t* m = mids + static_cast<size_t>(b) * F;
+    const int32_t* s = sizes + static_cast<size_t>(b) * F;
+    uint8_t* o = out + static_cast<size_t>(b) * n_entries * 2;
+    long n = counts[b];
+    long k = 0;
+    int prev = 0;
+    for (long i = 0; i < n; ++i) {
+      int d = m[i] - prev;
+      if (d < 0) return -2;
+      long nskip = d / 255;
+      if (k + nskip + 1 > n_entries) return -1;
+      for (long j = 0; j < nskip; ++j) {
+        o[2 * k] = 255;  // size byte stays 0 (pre-zeroed)
+        ++k;
+      }
+      o[2 * k] = static_cast<uint8_t>(d - nskip * 255);
+      int sz = s[i];
+      o[2 * k + 1] = static_cast<uint8_t>(sz > 255 ? 255 : sz);
+      ++k;
+      prev = m[i];
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

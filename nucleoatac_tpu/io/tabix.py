@@ -154,7 +154,14 @@ class TabixReader:
 
     def _load_all(self) -> None:
         from nucleoatac_tpu.io.bgzf import iter_bgzf_lines
+        from nucleoatac_tpu.utils.logging import log
 
+        log.warning(
+            "%s has no .tbi index: falling back to a full in-memory scan "
+            "(streaming lost; at genome scale index it with TabixWriter "
+            "or `pyatac`-produced outputs, which always write the index)",
+            self.path,
+        )
         self.rows = {}
         for line in iter_bgzf_lines(self.path):
             if not line or line.startswith("#"):

@@ -105,6 +105,43 @@ def encode_delta_fragments(
     return total
 
 
+try:  # C++ batch encoder (io/native/nucio.cpp :: nucio_encode_delta)
+    from nucleoatac_tpu.io.native.binding import (
+        HAS_ENCODE_DELTA as _HAS_NATIVE_ENCODE,
+        encode_delta_native as _encode_delta_native,
+    )
+except Exception:  # libnucio.so absent/stale -> numpy fallback
+    _HAS_NATIVE_ENCODE = False
+
+
+def encode_delta_batch(
+    mids: np.ndarray,
+    sizes: np.ndarray,
+    out: np.ndarray,
+    counts: np.ndarray | None = None,
+) -> None:
+    """Delta-encode a whole [B, F] batch into the zeroed [B, n_entries, 2]
+    uint8 wire buffer. counts[b] = valid fragments in row b (default F).
+
+    Uses the native C++ encoder when libnucio.so is built — the per-row
+    numpy path (encode_delta_fragments) costs ~4 ms per 128-window batch
+    against a ~7 ms pipelined loop, i.e. it was the largest single host
+    cost of the production run loop (scripts/roofline.py breakdown)."""
+    B, F = mids.shape
+    if counts is None:
+        counts = np.full(B, F, dtype=np.int64)
+    else:
+        counts = np.ascontiguousarray(counts, dtype=np.int64)
+    if _HAS_NATIVE_ENCODE:
+        m32 = np.ascontiguousarray(mids, dtype=np.int32)
+        s32 = np.ascontiguousarray(sizes, dtype=np.int32)
+        _encode_delta_native(m32, s32, counts, out)
+        return
+    for b in range(B):
+        n = int(counts[b])
+        encode_delta_fragments(mids[b, :n], sizes[b, :n], out, b)
+
+
 def pack_nibble_codes(codes: np.ndarray) -> np.ndarray:
     """[B, wp] uint8 base codes (values 0..4) -> [B, ceil(wp/2)] bytes,
     low nibble first (ops/pwmseq.py :: unpack_nibble_codes)."""
@@ -133,6 +170,9 @@ def make_delta_batches(
     for i in range(0, len(tiles), batch):
         group = list(tiles[i : i + batch])
         db = np.zeros((batch, frag_cap, 2), dtype=np.uint8)
+        mids = np.zeros((batch, frag_cap), dtype=np.int32)
+        sizes = np.zeros((batch, frag_cap), dtype=np.int32)
+        counts = np.zeros(batch, dtype=np.int64)
         for r, t in enumerate(group):
             m, s = frags.window(t.chrom, t.win_start, t.win_start + width)
             need = len(m) + width // 255 + 1
@@ -141,7 +181,10 @@ def make_delta_batches(
                     f"window at {t.chrom}:{t.win_start} needs {need} "
                     f"entries > frag_cap {frag_cap}; raise frag_cap"
                 )
-            encode_delta_fragments(m - t.win_start, s, db, r)
+            mids[r, : len(m)] = m - t.win_start
+            sizes[r, : len(s)] = s
+            counts[r] = len(m)
+        encode_delta_batch(mids, sizes, db, counts)
         yield DeltaBatch(db, group)
 
 

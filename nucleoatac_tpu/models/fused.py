@@ -145,6 +145,14 @@ def run_fused(
                 )
                 if keep_tracks:
                     nuc_res.tracks[cid] = tracks
+                else:
+                    # a chunk's nuc finishing is the last consumer of its
+                    # occ tracks (same tile set in both assemblers, occ
+                    # added first) — evict so run-path host memory stays
+                    # O(batch), not O(genome) (VERDICT r2 item 5); the
+                    # nfr stage re-reads them lazily from the written
+                    # bedgraphs (pipeline.py :: _nfr_occ_tracks)
+                    occ_res.tracks.pop(cid, None)
 
     for w in occ_writers.values():
         w.close()

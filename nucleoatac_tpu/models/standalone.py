@@ -174,16 +174,36 @@ def run_merge(args) -> None:
 class _LazyOccTracks:
     """cid -> dense chunk tracks, fetched on demand from the indexed occ
     bedgraphs (one chunk resident at a time instead of the whole genome —
-    VERDICT r1 weak item 4)."""
+    VERDICT r1 weak item 4). Dict-like (`get`/`[]`) so it can stand in
+    for OccStageResult.tracks after the fused run evicts them
+    (models/pipeline.py); a 1-chunk cache absorbs the consecutive
+    same-chunk lookups the nfr stage makes."""
 
     def __init__(self, reader: OccTrackReader, chunks: ChunkList):
         self.reader = reader
         self.chunks = chunks
+        self._cached: tuple | None = None  # (cid, tracks)
 
     def get(self, cid: int):
         if cid < 0 or cid >= len(self.chunks):
             return None
-        return self.reader.chunk_tracks(self.chunks[cid])
+        if self._cached is not None and self._cached[0] == cid:
+            return self._cached[1]
+        tracks = self.reader.chunk_tracks(self.chunks[cid])
+        self._cached = (cid, tracks)
+        return tracks
+
+    def __getitem__(self, cid: int):
+        tracks = self.get(cid)
+        if tracks is None:
+            raise KeyError(cid)
+        return tracks
+
+    def __contains__(self, cid: int) -> bool:
+        return 0 <= cid < len(self.chunks)
+
+    def __len__(self) -> int:
+        return len(self.chunks)
 
 
 def run_nfr(args) -> None:

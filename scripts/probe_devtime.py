@@ -24,13 +24,17 @@ from functools import partial
 import numpy as np
 
 
-def slope_time(build, n1=8, n2=32, repeats=2):
-    """build(n) -> zero-arg callable returning a device scalar."""
-    import jax
+def slope_time(build, n1=8, n2=32, repeats=3):
+    """build(n) -> zero-arg callable returning a device scalar.
 
+    Every call inside build() must dispatch with a FRESH seed argument
+    (see loop() below) so no timed call replays a (program, args) pair
+    the relay could dedupe. Non-positive slopes (timing noise) are
+    rejected; the median of the positive repeats is returned, or NaN if
+    none were positive."""
     f1, f2 = build(n1), build(n2)
-    np.asarray(f1()), np.asarray(f2())  # compile + warm
-    best = float("inf")
+    np.asarray(f1()), np.asarray(f2())  # compile + warm (fresh seeds)
+    slopes = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         np.asarray(f1())
@@ -38,8 +42,9 @@ def slope_time(build, n1=8, n2=32, repeats=2):
         t0 = time.perf_counter()
         np.asarray(f2())
         tb = time.perf_counter() - t0
-        best = min(best, (tb - ta) / (n2 - n1))
-    return best
+        slopes.append((tb - ta) / (n2 - n1))
+    pos = [s for s in slopes if s > 0]
+    return float(np.median(pos)) if pos else float("nan")
 
 
 def main():
@@ -76,16 +81,22 @@ def main():
 
     results = {}
 
+    import itertools
+
+    seed_counter = itertools.count(1)
+
     def loop(n, body, init):
         # init passes as jit ARGUMENTS: closed-over device arrays would be
         # fetched back and embedded as MLIR constants at trace time (197 MB
-        # -> remote-compile HTTP 413; models/engine.py __init__ note)
+        # -> remote-compile HTTP 413; models/engine.py __init__ note).
+        # The accumulator is seeded from a per-call varying scalar ARG so
+        # no two dispatches are identical (relay dedupe, premise 2).
         @jax.jit
-        def run(*init_args):
-            out = jax.lax.fori_loop(0, n, body, init_args)
+        def run(seed, *init_args):
+            out = jax.lax.fori_loop(0, n, body, (*init_args, seed))
             return out[-1]  # accumulator scalar
 
-        return lambda: run(*init)
+        return lambda: run(np.float32(next(seed_counter) * 1e-3), *init)
 
     # null: perturb a big f32 carry + read a scalar (loop overhead floor)
     def null_body(i, c):
@@ -96,7 +107,7 @@ def main():
         return m, m[0, 0, 1] + acc * 0.5
 
     results["null (carry perturb only)"] = slope_time(
-        lambda n: loop(n, null_body, (mat0, jnp.float32(0)))
+        lambda n: loop(n, null_body, (mat0,))
     )
 
     def raster_body(i, c):
@@ -106,7 +117,7 @@ def main():
         return d, m[0, 0, i % W] + acc * 0.5
 
     results["raster (delta decode + scatter)"] = slope_time(
-        lambda n: loop(n, raster_body, (db, jnp.float32(0)))
+        lambda n: loop(n, raster_body, (db,))
     )
 
     def pwm_body(i, c):
@@ -116,7 +127,7 @@ def main():
         return nb, lb[0, i % W] + acc * 0.5
 
     results["pwm bias (nibble codes)"] = slope_time(
-        lambda n: loop(n, pwm_body, (nib, jnp.float32(0)))
+        lambda n: loop(n, pwm_body, (nib,))
     )
 
     def bias_body(i, c):
@@ -126,17 +137,18 @@ def main():
         return lb, bm[0, 0, i % W] + acc * 0.5
 
     results["bias matrix"] = slope_time(
-        lambda n: loop(n, bias_body, (logb0, jnp.float32(0)))
+        lambda n: loop(n, bias_body, (logb0,))
     )
 
     def convs_body(i, c):
         m, bb, acc = c
         fo, bo = eng._convs_impl(m, bb)
         m = m.at[0, 0, 0].set(acc)
+        bb = bb.at[0, 0, 0].set(acc * 1e-6)  # no hoisting of the b-side
         return m, bb, fo[0, 0, i % W] + bo[0, 0, i % W] + acc * 0.5
 
     results["conv stacks (diag-GEMM, HIGH prec)"] = slope_time(
-        lambda n: loop(n, convs_body, (mat0, b00, jnp.float32(0)))
+        lambda n: loop(n, convs_body, (mat0, b00,))
     )
 
     def occ_body(i, c):
@@ -146,17 +158,18 @@ def main():
         return m, o3[0, 0, i % eng.core].astype(jnp.float32) + acc * 0.5
 
     results["occupancy (packed3)"] = slope_time(
-        lambda n: loop(n, occ_body, (mat0, jnp.float32(0)))
+        lambda n: loop(n, occ_body, (mat0,))
     )
 
     def fin_body(i, c):
         fo, bb, acc = c
         nm = eng._nuc1m_impl(fo, bb)
         fo = fo.at[0, 0, 0].set(acc)
+        bb = bb.at[0, 0, 0].set(acc * 1e-6)
         return fo, bb, nm[0, i % eng.core] + acc * 0.5
 
     results["nuc finish (norm+margin)"] = slope_time(
-        lambda n: loop(n, fin_body, (fo0, bo0, jnp.float32(0)))
+        lambda n: loop(n, fin_body, (fo0, bo0,))
     )
 
     def chain_body(i, c):
@@ -167,10 +180,11 @@ def main():
             eng._logbias_nib_impl(nb))))
         pk = eng._pack_run_impl(o3, nm)
         d = d.at[0, 0, 1].set((acc.astype(jnp.int32) % 199 + 1).astype(jnp.uint8))
+        nb = nb.at[0, 0].set((acc.astype(jnp.int32) % 67).astype(jnp.uint8))
         return d, nb, pk[0, i % pk.shape[1]].astype(jnp.float32) + acc * 0.5
 
     results["FULL chain (raster..pack)"] = slope_time(
-        lambda n: loop(n, chain_body, (db, nib, jnp.float32(0))), n1=4, n2=16
+        lambda n: loop(n, chain_body, (db, nib,)), n1=4, n2=16
     )
 
     null = results["null (carry perturb only)"]
