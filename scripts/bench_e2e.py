@@ -115,10 +115,24 @@ def main():
 
     from nucleoatac_tpu.models.pipeline import run_pipeline
 
+    # standalone ingest probe (BASELINE config "ingest MB/s"): C++ BGZF
+    # inflate + BAM parse + per-chrom midpoint sort
+    from nucleoatac_tpu.io.bam import scan_bam
+
+    t0 = time.perf_counter()
+    frags_probe = scan_bam(bam)
+    t_ingest = time.perf_counter() - t0
+    bam_mb = os.path.getsize(bam) / 1e6
+    n_ingested = frags_probe.n_fragments()
+    del frags_probe
+
     t0 = time.perf_counter()
     res = run_pipeline(bam, bed, prefix, fasta_path=fa, write_plots=False)
     t_run = time.perf_counter() - t0
 
+    import resource
+
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     total_bp = args.peaks * args.peak_bp
     n_frags = args.peaks * args.frags_per_peak
     print(json.dumps({
@@ -128,6 +142,10 @@ def main():
         "wall_s": round(t_run, 2),
         "peaks": args.peaks,
         "fragments": n_frags,
+        "ingest_MBps": round(bam_mb / t_ingest, 1),
+        "ingest_frags_per_s": round(n_ingested / t_ingest, 1),
+        "bam_MB": round(bam_mb, 1),
+        "peak_rss_MB": round(rss_mb, 1),
         "dyads_called": len(res.nuc.calls),
         "nfrs": len(res.nfrs),
         "synth_s": round(t_synth, 1),

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Minimal repro of the axon fused-program miscompile (engine.py note).
+
+The production pipeline chains FIVE small jitted stages (rasterize ->
+bias -> conv stacks -> elementwise finish) because compiling them as ONE
+jitted program miscompiles on the experimental axon TPU backend at
+production shapes (B >= 8, 1024-bp cores): the fused program's norm
+output differs from the chained stages (and from the float64 mirror) by
+O(1), while every stage is correct in isolation and the fused program is
+also correct at tiny shapes (B=2, 256-bp cores — what __graft_entry__'s
+entry() compile-checks). First observed round 1, re-verified after the
+host-numpy-constants fix; this script is the upstream-able evidence
+(VERDICT r2 item 7).
+
+Run on the axon backend (default platform):   python scripts/repro_axon_miscompile.py
+Control on CPU (both paths agree there):      python scripts/repro_axon_miscompile.py --platform cpu
+
+Exit code: 0 = fused matches chained (no miscompile on this backend),
+1 = mismatch reproduced.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--core", type=int, default=1024)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--tol", type=float, default=1e-3,
+                    help="max |fused - chained| accepted as agreement")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from nucleoatac_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _tiny_engine
+    from nucleoatac_tpu.models.data import encode_delta_batch, pack_nibble_codes
+
+    cfg, eng = _tiny_engine(core=args.core, batch=args.batch)
+    B, F, W = args.batch, 1024, eng.width
+    rng = np.random.default_rng(0)
+    mids = np.sort(rng.integers(0, W, size=(B, F)), axis=1)
+    szs = np.clip(rng.normal(147, 40, size=(B, F)), 1, 250).astype(np.int64)
+    db = np.zeros((B, F + W // 255 + 1, 2), np.uint8)
+    encode_delta_batch(mids, szs, db)
+    nib = pack_nibble_codes(
+        rng.integers(0, 4, size=(B, eng.seq_codes_width())).astype(np.uint8)
+    )
+    db_d, nib_d = jnp.asarray(db), jnp.asarray(nib)
+
+    # chained: the production path — five separate jitted stages
+    chained = np.asarray(
+        eng.nuc_step_delta_seq(db_d, nib_d).norm
+    )
+
+    # fused: the SAME computation traced as one jitted program
+    fused_fn = jax.jit(
+        lambda d, nb: eng.nuc_impl(
+            eng._raster_delta_impl(d), eng._logbias_nib_impl(nb)
+        ).norm
+    )
+    fused = np.asarray(fused_fn(db_d, nib_d))
+
+    diff = np.abs(fused - chained)
+    print(
+        f"platform={jax.devices()[0].platform} B={B} core={args.core}: "
+        f"max|fused-chained|={diff.max():.3e} "
+        f"(mean {diff.mean():.3e}; chained |norm| max "
+        f"{np.abs(chained).max():.3e})"
+    )
+    if diff.max() > args.tol:
+        print("MISCOMPILE REPRODUCED: fused program diverges from the "
+              "chained stages")
+        return 1
+    print("no divergence on this backend")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

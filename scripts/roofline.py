@@ -30,6 +30,11 @@ Usage: python scripts/roofline.py [--batch 128] [--stages raster,occ,...]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import itertools
 import json
 import sys
@@ -84,7 +89,6 @@ def main():
     enable_compilation_cache()
     import jax.numpy as jnp
 
-    sys.path.insert(0, ".")
     from __graft_entry__ import _tiny_engine
     from nucleoatac_tpu.models.data import encode_delta_batch, pack_nibble_codes
     from nucleoatac_tpu.models.occ import _pipelined
@@ -119,16 +123,26 @@ def main():
     nib_h = pack_nibble_codes(rng.integers(0, 4, size=(B, wp)).astype(np.uint8))
     up_bytes = db_h.nbytes + nib_h.nbytes
 
+    def _t(msg):
+        print(f"# warm: {msg} @ {time.perf_counter()-_t0:.1f}s", flush=True)
+
+    _t0 = time.perf_counter()
     db = jnp.asarray(db_h)
     nib = jnp.asarray(nib_h)
+    _t("uploaded")
     mat0 = eng._raster_delta(db)
+    _t("raster dispatched")
     logb0 = eng._logbias_nib(nib)
     b00 = eng._bias(logb0)
+    _t("bias dispatched")
     fo0, bo0 = eng._convs(mat0, b00)
+    _t("convs dispatched")
     occ30 = eng._occ_packed3(mat0)
     norm0 = eng._nuc1m(fo0, bo0)
     packed0 = eng._pack_run(occ30, norm0)
+    _t("all dispatched")
     np.asarray(packed0)  # true sync: everything above is resident now
+    _t("first fetch done")
     down_bytes = packed0.size  # uint8
 
     rows = []
