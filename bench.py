@@ -115,9 +115,9 @@ def main() -> None:
         t0 = time.perf_counter()
         for _, out in _pipelined(gen(), dispatch, depth=args.depth):
             buf = np.asarray(out)  # the only true sync on the relay
-            occ3, norm = engine.unpack_run(buf)
+            idx, cert, norm = engine.unpack_run(buf)
             if collect is not None:
-                collect.append((occ3[0, 0, 0], norm[0, 0]))
+                collect.append((idx[0, 0, 0], norm[0, 0]))
         return time.perf_counter() - t0
 
     # warm-up: compile + warm the fetch path on distinct throwaway buffers

@@ -135,8 +135,10 @@ class DeviceEngine:
         self._occ_from_mat = jax.jit(self._occ_from_mat_impl, **jit_kwargs)
         self._occ_packed = jax.jit(self._occ_packed_impl, **jit_kwargs)
         self._occ_packed3 = jax.jit(self._occ_packed3_impl, **jit_kwargs)
+        self._occ_packed2 = jax.jit(self._occ_packed2_impl, **jit_kwargs)
         self._finish2 = jax.jit(self._finish2_impl, **jit_kwargs)
         self._nuc1m = jax.jit(self._nuc1m_impl, **jit_kwargs)
+        self._u24 = jax.jit(self._u24_impl, **jit_kwargs)
         self._pack_run = jax.jit(self._pack_run_impl, **jit_kwargs)
         self._bias = jax.jit(self._bias_impl, **jit_kwargs)
         self._convs = jax.jit(self._convs_impl, **jit_kwargs)
@@ -259,14 +261,56 @@ class DeviceEngine:
         m = self.smooth_margin()
         return t.norm[:, self.core_lo - m : self.core_lo + self.core + m]
 
-    def _pack_run_impl(self, occ3, norm1m):
-        """Fused-run download: ONE uint8 [B, 3*core + 4*(core+2m)] buffer
-        per batch — occ grid indices + bitcast f32 norm — so the full
-        occ+nuc pipeline pays a single upload and a single download per
-        batch (models/fused.py)."""
-        B = occ3.shape[0]
-        nb = jax.lax.bitcast_convert_type(norm1m, jnp.uint8).reshape(B, -1)
-        return jnp.concatenate([occ3.reshape(B, -1), nb], axis=1)
+    @staticmethod
+    def _u24_impl(x):
+        """f32 [..., N] -> uint8 [..., N, 3]: drop the low mantissa byte
+        with round-to-nearest-magnitude (wire v4). Deterministic; max
+        relative error 2^-16 ~ 1.5e-5 — the same class as the accepted
+        |f32 - f64| deviation (config.NucParams.exact_tol covers both),
+        and far below the mirror-comparison tolerances. Saves 25% of the
+        norm download on the bandwidth-bound relay link."""
+        u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        u = (u + 0x80) >> 8  # carries propagate = correct float rounding
+        return jnp.stack(
+            [u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF], axis=-1
+        ).astype(jnp.uint8)
+
+    @staticmethod
+    def f32_from_u24(b: np.ndarray) -> np.ndarray:
+        """Host decode of _u24_impl output: uint8 [..., N, 3] -> f32."""
+        u = (
+            b[..., 0].astype(np.uint32)
+            | (b[..., 1].astype(np.uint32) << 8)
+            | (b[..., 2].astype(np.uint32) << 16)
+        ) << 8
+        return u.view(np.float32)
+
+
+    def _occ_packed2_impl(self, mat):
+        """Wire v4 occ finisher: uint8 [B, 2, core] — argmax index +
+        certified bit, CI bounds as 4-bit deltas (ops/occupancy.py ::
+        occupancy_packed2). Requires occ.exact (delta overflow falls back
+        to the f64 refinisher via the cleared certified flag)."""
+        from nucleoatac_tpu.ops.occupancy import occupancy_packed2
+
+        return occupancy_packed2(
+            mat.astype(jnp.float32), self.log_mix, self.cfg.occ.flank,
+            self.core_lo, self.core, self.cfg.occ.ci_drop,
+            self.cfg.occ.exact_tol,
+        )
+
+    def _pack_run_impl(self, occ2, norm24):
+        """Fused-run download, wire v4: ONE uint8
+        [B, 2*core + 3*(core+2m)] buffer per batch — packed2 occ grid
+        indices + u24-truncated norm — so the full occ+nuc pipeline pays
+        a single upload and a single download per batch (models/fused.py)
+        at 5 bytes/bp instead of round 2's 7 (roofline r3: the download
+        link is the e2e bottleneck at 25 MB/s). norm24 arrives from the
+        standalone _u24 program (see _nucm24 note on byte-identity)."""
+        B = occ2.shape[0]
+        return jnp.concatenate(
+            [occ2.reshape(B, -1), norm24.reshape(B, -1)], axis=1
+        )
 
     def _bias_impl(self, log_bias):
         return bias_mat_batch(
@@ -451,22 +495,72 @@ class DeviceEngine:
     # single fused program — see the axon miscompile note below).
     def run_step_delta(self, db, packed_codes):
         mat = self._raster_delta(db)
-        occ3 = self._occ_packed3(mat)
-        norm1m = self._nucm(mat, self._logbias_nib(packed_codes))
-        return self._pack_run(occ3, norm1m)
+        occ2 = self._occ_packed2(mat)
+        norm24 = self._u24(self._nucm(mat, self._logbias_nib(packed_codes)))
+        return self._pack_run(occ2, norm24)
 
     def unpack_run(self, buf: np.ndarray):
-        """Host-side decode of run_step_delta output: (occ3 uint8
-        [B, 3, core], norm f32 [B, core+2m])."""
+        """Host-side decode of run_step_delta output (wire v4):
+        (idx int64 [B, 3, core] = decoded argmax/CI-lo/CI-up grid
+        indices, cert bool [B, core], norm f32 [B, core+2m]). Positions
+        with cert == False carry placeholder CI indices and MUST be
+        f64-refinished (models/occ.py :: _exact_refinish)."""
         B = buf.shape[0]
-        n_occ = 3 * self.core
-        occ3 = buf[:, :n_occ].reshape(B, 3, self.core)
-        norm = (
-            np.ascontiguousarray(buf[:, n_occ:])
-            .view(np.float32)
-            .reshape(B, -1)
+        n_occ = 2 * self.core
+        idx, cert = self.decode_occ2(buf[:, :n_occ].reshape(B, 2, self.core))
+        norm = self.f32_from_u24(
+            buf[:, n_occ:].reshape(B, -1, 3)
         )
-        return occ3, norm
+        return idx, cert, norm
+
+    def decode_occ2(self, raw: np.ndarray):
+        """uint8 [B, 2, core] (occupancy_packed2) -> (idx int64
+        [B, 3, core] clipped to the grid, cert bool [B, core])."""
+        G = self.log_mix.shape[1]
+        raw = raw.astype(np.int64)
+        best = raw[:, 0] & 0x7F
+        cert = (raw[:, 0] >> 7).astype(bool)
+        lo = best - (raw[:, 1] & 0xF)
+        up = np.minimum(best + (raw[:, 1] >> 4), G - 1)
+        return np.stack([best, lo, up], axis=1), cert
+
+    # Wire-v4 occ entry points (2-byte packed; REQUIRES occ.exact —
+    # CI-delta overflow routes through the f64 refinisher):
+    def occ_step_delta_p2(self, db):
+        return self._occ_packed2(self._raster_delta(db))
+
+    def occ_step_packed_p2(self, packed):
+        return self._occ_packed2(self._raster_packed(packed))
+
+    def occ_step_p2(self, mat):
+        return self._occ_packed2(mat)
+
+    # Wire-v4 nuc entry points (u24 norm-with-margin; decode with
+    # f32_from_u24 then host_smooth):
+    def _nucm24(self, mat, log_bias):
+        # the u24 truncation runs as its OWN jitted program on _nucm's
+        # output, so the f32 norm it truncates is bitwise THE SAME values
+        # the fused run_step_delta truncates (same executable) — keeping
+        # fused == two-pass outputs byte-identical (tests/test_fused.py)
+        return self._u24(self._nucm(mat, log_bias))
+
+    def nuc_step_delta_seq_m24(self, db, packed_codes):
+        return self._nucm24(self._raster_delta(db), self._logbias_nib(packed_codes))
+
+    def nuc_step_delta_m24(self, db, log_bias):
+        return self._nucm24(self._raster_delta(db), log_bias)
+
+    def nuc_step_packed_seq_m24(self, packed, codes):
+        return self._nucm24(self._raster_packed(packed), self._logbias_seq(codes))
+
+    def nuc_step_packed_m24(self, packed, log_bias):
+        return self._nucm24(self._raster_packed(packed), log_bias)
+
+    def nuc_step_frags_m24(self, mids, sizes, valid, log_bias):
+        return self._nucm24(self._raster(mids, sizes, valid), log_bias)
+
+    def nuc_step_dense_m24(self, mat, log_bias):
+        return self._nucm24(mat, log_bias)
 
     # Wire-v2 entry points (core-only compact downloads):
     def occ_step_delta_c3(self, db):

@@ -41,12 +41,14 @@ from nucleoatac_tpu.models.occ import OccStage, OccStageResult, _pipelined
 
 def fused_supported(cfg: RunConfig, engine: DeviceEngine) -> bool:
     """The fused pass covers the production configuration (delta wire +
-    on-device PWM bias + exact nuc finishing); anything else falls back
-    to the two-pass drivers."""
+    on-device PWM bias + exact occ AND nuc finishing — wire v4's CI
+    deltas and u24 norm both lean on the f64 refinishers); anything else
+    falls back to the two-pass drivers."""
     return (
         cfg.window.transfer == "delta"
         and engine.pwm is not None
         and cfg.nuc.exact
+        and cfg.occ.exact
     )
 
 
@@ -114,10 +116,11 @@ def run_fused(
 
     m = eng.smooth_margin()
     for batch, out in _pipelined(batches, dispatch):
-        occ3, normm = eng.unpack_run(np.asarray(out))
-        occ3 = occ3.astype(np.int64)
-        idx = occ3 & 0x7F
-        cert = (occ3[:, 0] >> 7).astype(np.float64)
+        # wire v4 (engine.unpack_run): decoded occ grid indices +
+        # certified mask + u24-decoded norm; uncertified positions carry
+        # placeholder CI bounds and are f64-refinished below
+        idx, cert_b, normm = eng.unpack_run(np.asarray(out))
+        cert = cert_b.astype(np.float64)
         occ_b = grid64[idx[:, 0]]
         lo_b = grid64[idx[:, 1]]
         up_b = grid64[idx[:, 2]]

@@ -298,12 +298,14 @@ class NucStage:
         def batch_seq_codes(batch):
             return seq_provider.rows(batch.meta)
 
-        # compact download: ONE f32 array per batch — norm with smooth
-        # margins [B, core+2m] in exact mode (engine._nucm; the smoothed
-        # track is recomputed on host, models/nuc.py :: host_smooth) or
-        # [B, 5, W] legacy (engine._nuc5). The download link bounds
-        # windows/s (~35 MB/s on the relay).
-        sfx = "_m" if exact else "_c"
+        # compact download: ONE array per batch — in exact mode the
+        # u24-truncated norm with smooth margins [B, core+2m, 3] (wire
+        # v4, engine._nucm24: the smoothed track is recomputed on host
+        # from the decoded norm, host_smooth; truncation error 1.5e-5 is
+        # covered by nuc.exact_tol's f32-vs-f64 budget) or [B, 5, W]
+        # legacy f32 (engine._nuc5). The download link bounds windows/s
+        # (25 MB/s on the relay, scripts/roofline.py).
+        sfx = "_m24" if exact else "_c"
         # a precomputed bias track forces the log-bias upload path (the
         # on-device PWM would recompute bias from sequence)
         seq_ok = eng.pwm is not None and self.bias_source is None
@@ -370,8 +372,9 @@ class NucStage:
             )
         for batch, out in _pipelined(batches, dispatch):
             if exact:
+                normm = eng.f32_from_u24(np.asarray(out))  # wire v4 decode
                 arrs = host_smooth(
-                    np.asarray(out, np.float64), self.engine.smooth_margin(),
+                    normm.astype(np.float64), self.engine.smooth_margin(),
                     self.refinisher.gk,
                 )
             else:

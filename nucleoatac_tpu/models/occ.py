@@ -154,35 +154,41 @@ class OccStage:
         asm.expect(tiles)
         import jax.numpy as jnp
 
-        # wire v2 download: ONE uint8 [B, 3, core] array per batch (grid
-        # indices, certified flag in bit 7 of channel 0, core columns
-        # only; engine.occ_step_*_c3) — the download link bounds
-        # windows/s (~35 MB/s on the relay), so every halo byte shipped
-        # was throughput lost
+        # Compact download, ONE uint8 array per batch — the download link
+        # bounds windows/s (25 MB/s on the relay, scripts/roofline.py).
+        # Exact mode uses wire v4 (engine.occ_step_*_p2: 2 bytes/bp, CI
+        # bounds as 4-bit deltas whose overflow routes through the f64
+        # refinisher); non-exact mode keeps wire v2 (occ_step_*_c3,
+        # 3 bytes/bp, full CI indices — no refinisher to fall back on).
+        sfx = "_p2" if cfg.occ.exact else "_c3"
         if cfg.window.transfer == "delta":
+            step = getattr(eng, "occ_step_delta" + sfx)
 
             def dispatch(batch):
-                return eng.occ_step_delta_c3(jnp.asarray(batch.delta))
+                return step(jnp.asarray(batch.delta))
 
             batches = make_delta_batches(frags, tiles, eng.width, cfg.window.batch)
         elif cfg.window.transfer == "packed":
+            step = getattr(eng, "occ_step_packed" + sfx)
 
             def dispatch(batch):
-                return eng.occ_step_packed_c3(jnp.asarray(batch.packed))
+                return step(jnp.asarray(batch.packed))
 
             batches = make_packed_batches(frags, tiles, eng.width, cfg.window.batch)
         elif cfg.window.transfer == "frags":
+            step = getattr(eng, "occ_step_packed" + sfx)
 
             def dispatch(batch):
                 s = np.where(batch.valid, batch.sizes, 0).astype(np.int32)
                 m = np.where(batch.valid, batch.mids, 0).astype(np.int32)
-                return eng.occ_step_packed_c3(jnp.asarray((s << 16) | m))
+                return step(jnp.asarray((s << 16) | m))
 
             batches = make_batches(frags, tiles, eng.width, cfg.window.batch)
         else:
+            step = getattr(eng, "occ_step" + sfx)
 
             def dispatch(batch):
-                return eng.occ_step_c3(jnp.asarray(batch.mats))  # int16
+                return step(jnp.asarray(batch.mats))  # int16
 
             batches = make_dense_batches(
                 frags, tiles, eng.width, cfg.window.batch,
@@ -195,9 +201,13 @@ class OccStage:
         grid64 = mix.alpha_grid(cfg.occ)
 
         for batch, out in _pipelined(batches, dispatch):
-            raw = np.asarray(out, np.int64)  # [B, 3, core]
-            idx = raw & 0x7F
-            cert = (raw[:, 0] >> 7).astype(np.float64)
+            raw = np.asarray(out, np.int64)
+            if cfg.occ.exact:  # wire v4: [B, 2, core]
+                idx, cert_b = eng.decode_occ2(raw)
+                cert = cert_b.astype(np.float64)
+            else:  # wire v2: [B, 3, core]
+                idx = raw & 0x7F
+                cert = (raw[:, 0] >> 7).astype(np.float64)
             occ_b = grid64[idx[:, 0]]
             lo_b = grid64[idx[:, 1]]
             up_b = grid64[idx[:, 2]]

@@ -146,6 +146,69 @@ def occupancy_packed3(
     return out.astype(jnp.uint8)
 
 
+def occupancy_packed2(
+    mat: jax.Array,  # [B, S, W] float32 counts (integer-valued)
+    log_mix: jax.Array,  # [S, G] float32
+    flank: int,
+    core_lo: int,
+    core_len: int,
+    ci_drop: float = 1.92,
+    exact_tol: float = 0.05,
+) -> jax.Array:
+    """Wire format v4: ONE uint8 [B, 2, core_len] download per batch —
+    2 bytes/bp instead of packed3's 3 (the download link bounds e2e
+    windows/s: 25 MB/s measured, scripts/roofline.py r3).
+
+    Channel 0 = argmax grid index | certified-flag << 7. Channel 1 =
+    (argmax - CI-lower index) | (CI-upper index - argmax) << 4 — the CI
+    bounds as 4-bit DELTAS from the argmax. A delta that overflows 4 bits
+    (possible at low counts, where the LL surface is flat and the CI
+    spans much of the grid) simply CLEARS the certified flag, which
+    routes the position through the host float64 refinisher
+    (models/occ.py :: _exact_refinish) — the exact same fallback that
+    already guarantees f64-equality at near-tie positions, so the format
+    is lossless end-to-end. Empty windows (n == 0) are likewise left
+    uncertified (their upper bound is 1.0 == grid index G-1, not
+    delta-representable); the refinisher emits the 0/0/1 convention for
+    them. REQUIRES occ.exact mode; without a refinisher, use
+    occupancy_packed3."""
+    G = log_mix.shape[1]
+    if G > 128:
+        raise ValueError(
+            f"grid size {G} > 128 overflows the 7-bit packed grid index; "
+            "use occupancy_batch instead"
+        )
+    ll, n = _ll_and_n(mat, log_mix, flank)
+    ll = ll[:, core_lo : core_lo + core_len]
+    n = n[:, core_lo : core_lo + core_len]
+    best = jnp.argmax(ll, axis=-1)
+    llmax = jnp.max(ll, axis=-1)
+    ok = ll >= (llmax[..., None] - ci_drop)
+    first = jnp.argmax(ok, axis=-1)
+    last = G - 1 - jnp.argmax(ok[..., ::-1], axis=-1)
+
+    is_best = jax.nn.one_hot(best, G, dtype=jnp.bool_)
+    ll2 = jnp.max(jnp.where(is_best, -jnp.inf, ll), axis=-1)
+    margin = llmax - ll2
+    thr = llmax[..., None] - ci_drop
+    ci_margin = jnp.min(jnp.abs(ll - thr), axis=-1)
+
+    lo_d = best - first
+    up_d = last - best
+    empty = n <= 0
+    certified = (
+        (margin > exact_tol)
+        & (ci_margin > exact_tol)
+        & (lo_d <= 15)
+        & (up_d <= 15)
+        & ~empty
+    )
+    ch0 = jnp.where(empty, 0, best) | (certified.astype(jnp.int32) << 7)
+    ch1 = jnp.minimum(lo_d, 15) | (jnp.minimum(up_d, 15) << 4)
+    out = jnp.stack([ch0, jnp.where(empty, 0, ch1)], axis=1)
+    return out.astype(jnp.uint8)
+
+
 def _ll_and_n(mat, log_mix, flank):
     """[B, W, G] window log-likelihood surface + [B, W] window counts."""
     # HIGH (bf16x3) keeps the alpha-argmax stable vs the f64 mirror:

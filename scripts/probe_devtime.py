@@ -153,7 +153,7 @@ def main():
 
     def occ_body(i, c):
         m, acc = c
-        o3 = eng._occ_packed3_impl(m)
+        o3 = eng._occ_packed2_impl(m)
         m = m.at[0, 0, 0].set(acc)
         return m, o3[0, 0, i % eng.core].astype(jnp.float32) + acc * 0.5
 
@@ -175,7 +175,7 @@ def main():
     def chain_body(i, c):
         d, nb, acc = c
         m = eng._raster_delta_impl(d)
-        o3 = eng._occ_packed3_impl(m)
+        o3 = eng._occ_packed2_impl(m)
         nm = eng._nuc1m_impl(*eng._convs_impl(m, eng._bias_impl(
             eng._logbias_nib_impl(nb))))
         pk = eng._pack_run_impl(o3, nm)

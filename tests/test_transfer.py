@@ -316,3 +316,66 @@ def test_nuc_c2_matches_tracks(rng):
     np.testing.assert_allclose(
         comp[:, 1], np.asarray(full.norm_smooth)[:, lo:hi], atol=1e-6
     )
+
+
+def test_occ_packed2_matches_packed3_where_certified(rng):
+    """Wire v4: uint8 [B, 2, core] (CI bounds as 4-bit deltas) decodes to
+    the same occ/lower/upper as wire v2 at every CERTIFIED position, and
+    every position v2 certified that v4 does not is exactly a delta
+    overflow or an empty window (the two documented fallback cases, both
+    routed through the f64 refinisher)."""
+    cfg, eng, db, _ = _tiny(rng)
+    v2 = np.asarray(eng.occ_step_delta_c3(jnp.asarray(db)), np.int64)
+    v4 = np.asarray(eng.occ_step_delta_p2(jnp.asarray(db)))
+    assert v4.shape == (db.shape[0], 2, eng.core)
+    idx4, cert4 = eng.decode_occ2(v4)
+    idx2 = v2 & 0x7F
+    cert2 = (v2[:, 0] >> 7).astype(bool)
+    # wherever v4 certifies, all three indices agree with v2
+    sel = np.broadcast_to(cert4[:, None], idx4.shape)
+    np.testing.assert_array_equal(idx4[sel], idx2[sel])
+    # v4 certifies a subset of v2 (extra fallbacks only)
+    assert not np.any(cert4 & ~cert2)
+    extra = cert2 & ~cert4
+    lo_d = idx2[:, 0] - idx2[:, 1]
+    up_d = idx2[:, 2] - idx2[:, 0]
+    full = eng.occ_step_delta(jnp.asarray(db))
+    empty = np.asarray(full.n)[:, eng.core_lo : eng.core_lo + eng.core] <= 0
+    assert np.all((lo_d > 15) | (up_d > 15) | empty | ~extra)
+
+
+def test_u24_norm_roundtrip(rng):
+    """Wire v4 nuc: u24-truncated norm decodes within 2^-16 relative of
+    the f32 track (round-to-nearest on the dropped byte)."""
+    cfg, eng, db, codes = _tiny(rng)
+    nib = jnp.asarray(pack_nibble_codes(codes))
+    f32 = np.asarray(eng.nuc_step_delta_seq_m(jnp.asarray(db), nib))
+    u24 = np.asarray(eng.nuc_step_delta_seq_m24(jnp.asarray(db), nib))
+    assert u24.shape == f32.shape + (3,)
+    dec = eng.f32_from_u24(u24)
+    np.testing.assert_allclose(dec, f32, rtol=2 ** -16, atol=1e-30)
+    # exactness of the codec itself on crafted values incl. negatives
+    vals = np.array(
+        [[0.0, -0.0, 1.5, -3.25, 1e-20, 12345.678, -9.999e4]], np.float32
+    )
+    dev = np.asarray(jax.jit(eng._u24_impl)(jnp.asarray(vals)))
+    dec2 = eng.f32_from_u24(dev)
+    np.testing.assert_allclose(dec2, vals, rtol=2 ** -16)
+
+
+def test_run_step_delta_unpack_matches_stages(rng):
+    """The fused v4 packed buffer round-trips to exactly the packed2 occ
+    decode + u24 norm decode of the separate stage outputs."""
+    cfg, eng, db, codes = _tiny(rng)
+    nib = jnp.asarray(pack_nibble_codes(codes))
+    buf = np.asarray(eng.run_step_delta(jnp.asarray(db), nib))
+    idx, cert, norm = eng.unpack_run(buf)
+    idx_s, cert_s = eng.decode_occ2(
+        np.asarray(eng.occ_step_delta_p2(jnp.asarray(db)))
+    )
+    norm_s = eng.f32_from_u24(
+        np.asarray(eng.nuc_step_delta_seq_m24(jnp.asarray(db), nib))
+    )
+    np.testing.assert_array_equal(idx, idx_s)
+    np.testing.assert_array_equal(cert, cert_s)
+    np.testing.assert_array_equal(norm, norm_s)
