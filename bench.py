@@ -121,8 +121,12 @@ def main() -> None:
         return time.perf_counter() - t0
 
     # warm-up: compile + warm the fetch path on distinct throwaway buffers
+    # (on the axon relay this pays remote compiles + a one-time stall on
+    # the process's first fetch — minutes; the timed loops are steady-state)
+    t0 = time.perf_counter()
     wm, ws, wn = make_inputs(rng, 2, B, F, W, wp)
     run_loop(wm, ws, wn)
+    print(f"# warmed in {time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
     best = float("inf")
     for _ in range(max(1, args.repeats)):
