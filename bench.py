@@ -68,6 +68,9 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2,
                     help="timed repeats (fresh buffers each); best reported")
     ap.add_argument("--depth", type=int, default=3, help="pipeline depth")
+    ap.add_argument("--fetch-threads", type=int, default=8,
+                    help="concurrent result fetches (relay download stream "
+                         "is per-fetch limited; probe_parallel_fetch.py)")
     ap.add_argument("--cpu-windows", type=int, default=8)
     ap.add_argument("--platform", default=None, help="force jax platform")
     ap.add_argument("--breakdown", action="store_true",
@@ -113,7 +116,8 @@ def main() -> None:
             )
 
         t0 = time.perf_counter()
-        for _, out in _pipelined(gen(), dispatch, depth=args.depth):
+        for _, out in _pipelined(gen(), dispatch, depth=args.depth,
+                                 fetch_threads=args.fetch_threads):
             buf = np.asarray(out)  # the only true sync on the relay
             idx, cert, norm = engine.unpack_run(buf)
             if collect is not None:
@@ -152,7 +156,8 @@ def main() -> None:
 
         t0 = time.perf_counter()
         for _, out in _pipelined(range(args.batches), dispatch,
-                                 depth=args.depth):
+                                 depth=args.depth,
+                                 fetch_threads=args.fetch_threads):
             engine.unpack_run(np.asarray(out))
         t_noenc = (time.perf_counter() - t0) / args.batches
         print(

@@ -121,6 +121,13 @@ class WindowParams:
     # (size<<16)|mid words; "frags" uploads separate mids/sizes/valid
     # arrays; "dense" uploads host-rasterized int16 count matrices
     transfer: str = "delta"
+    # concurrent device->host fetch threads in the pipelined batch loop
+    # (models/occ.py :: _pipelined). The remote relay's download stream is
+    # per-fetch limited, so concurrent fetches of distinct batch buffers
+    # raise aggregate wire throughput ~1.6-3x (probe_parallel_fetch.py);
+    # harmless on local backends (fetches are sub-ms there). 0 = serial
+    # async-copy pipelining only.
+    fetch_threads: int = 8
 
     def halo(self, occ: OccParams, vmat: VMatParams) -> int:
         """Context needed on each side of a window core so every per-core

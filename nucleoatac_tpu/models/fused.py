@@ -115,7 +115,10 @@ def run_fused(
         return float(tr["occ"][i]), float(tr["lower"][i]), float(tr["upper"][i])
 
     m = eng.smooth_margin()
-    for batch, out in _pipelined(batches, dispatch):
+    for batch, out in _pipelined(
+            batches, dispatch,
+            fetch_threads=cfg.window.fetch_threads,
+        ):
         # wire v4 (engine.unpack_run): decoded occ grid indices +
         # certified mask + u24-decoded norm; uncertified positions carry
         # placeholder CI bounds and are f64-refinished below

@@ -370,7 +370,10 @@ class NucStage:
                 frags, tiles, eng.width, cfg.window.batch,
                 cfg.sizes.lower, cfg.sizes.upper,
             )
-        for batch, out in _pipelined(batches, dispatch):
+        for batch, out in _pipelined(
+            batches, dispatch,
+            fetch_threads=cfg.window.fetch_threads,
+        ):
             if exact:
                 normm = eng.f32_from_u24(np.asarray(out))  # wire v4 decode
                 arrs = host_smooth(

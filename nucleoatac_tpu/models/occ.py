@@ -80,7 +80,7 @@ def call_occ_peaks(
     ]
 
 
-def _pipelined(batches, dispatch, depth: int = 3):
+def _pipelined(batches, dispatch, depth: int = 3, fetch_threads: int = 0):
     """Keep ``depth`` batches in flight: dispatch batch i+depth and START
     its device->host copy (copy_to_host_async) before materializing batch
     i's results. On the remote relay, serial np.asarray fetches pay a full
@@ -88,10 +88,49 @@ def _pipelined(batches, dispatch, depth: int = 3):
     serial -> 215 ms async, scripts/probe_async.py) — this is the TPU
     analogue of the reference's worker/writer overlap (SURVEY.md §3.3
     row 2), upgraded from the round-1 single-buffered version per VERDICT
-    item 2."""
+    item 2.
+
+    ``fetch_threads > 0`` additionally materializes results through a
+    thread pool: the relay's device->host stream is per-fetch limited
+    (TCP-window, not link, bound), so N concurrent np.asarray calls on
+    DISTINCT arrays raise aggregate wire throughput ~1.6-3x over the
+    async-copy pattern (scripts/probe_parallel_fetch.py: serial 10.5,
+    async 19.6, 8 threads 31.3 MB/s on 712 KB batch buffers). Results
+    still yield in dispatch order; with threads the yielded ``out`` leaves
+    are ALREADY-fetched numpy arrays (np.asarray on them is a no-op for
+    consumers). Dispatches stay on the caller's thread — only fetches
+    fan out, so the single-TPU-process rule is untouched."""
     from collections import deque
 
     import jax
+
+    if fetch_threads > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fetch(out):
+            return jax.tree_util.tree_map(
+                lambda l: np.asarray(l)
+                if hasattr(l, "copy_to_host_async")
+                else l,
+                out,
+            )
+
+        depth = max(depth, fetch_threads + 2)
+        with ThreadPoolExecutor(fetch_threads) as ex:
+            q = deque()
+            for b in batches:
+                out = dispatch(b)
+                for leaf in jax.tree_util.tree_leaves(out):
+                    if hasattr(leaf, "copy_to_host_async"):
+                        leaf.copy_to_host_async()
+                q.append((b, ex.submit(fetch, out)))
+                if len(q) > depth:
+                    b0, f = q.popleft()
+                    yield b0, f.result()
+            while q:
+                b0, f = q.popleft()
+                yield b0, f.result()
+        return
 
     q = deque()
     for b in batches:
@@ -200,7 +239,10 @@ class OccStage:
         # lossless
         grid64 = mix.alpha_grid(cfg.occ)
 
-        for batch, out in _pipelined(batches, dispatch):
+        for batch, out in _pipelined(
+            batches, dispatch,
+            fetch_threads=cfg.window.fetch_threads,
+        ):
             raw = np.asarray(out, np.int64)
             if cfg.occ.exact:  # wire v4: [B, 2, core]
                 idx, cert_b = eng.decode_occ2(raw)
