@@ -122,7 +122,7 @@ def main() -> None:
         for _, out in _pipelined(gen(), dispatch, depth=args.depth,
                                  fetch_threads=fetch_threads):
             buf = np.asarray(out)  # the only true sync on the relay
-            idx, cert, norm = engine.unpack_run(buf)
+            idx, cert, norm, qstep = engine.unpack_run(buf)
             if collect is not None:
                 collect.append((idx[0, 0, 0], norm[0, 0]))
         return time.perf_counter() - t0

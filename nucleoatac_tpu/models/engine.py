@@ -139,6 +139,7 @@ class DeviceEngine:
         self._finish2 = jax.jit(self._finish2_impl, **jit_kwargs)
         self._nuc1m = jax.jit(self._nuc1m_impl, **jit_kwargs)
         self._u24 = jax.jit(self._u24_impl, **jit_kwargs)
+        self._u16 = jax.jit(self._u16_impl, **jit_kwargs)
         self._pack_run = jax.jit(self._pack_run_impl, **jit_kwargs)
         self._bias = jax.jit(self._bias_impl, **jit_kwargs)
         self._convs = jax.jit(self._convs_impl, **jit_kwargs)
@@ -285,6 +286,55 @@ class DeviceEngine:
         ) << 8
         return u.view(np.float32)
 
+    @staticmethod
+    def _u16_impl(x):
+        """f32 [B, N] -> uint8 [B, 2N+8]: per-row affine u16 quantization
+        (wire v5). Layout per row: N low bytes, N high bytes, then
+        min (f32 LE) and scale (f32 LE). q = round((x-min)/scale) with
+        scale = (max-min)/65535, so |decode - x| <= scale/2 — the decoder
+        reports scale so the exact-mode tie guard can WIDEN its margin
+        threshold by the quantization step (models/nuc.py), keeping the
+        f64-certification sound for arbitrary value ranges (pathological
+        windows just trigger more f64 fallbacks). Saves another third of
+        the norm download vs u24 on the bandwidth-bound relay link."""
+        mn = jnp.min(x, axis=1, keepdims=True)
+        rng = jnp.max(x, axis=1, keepdims=True) - mn
+        scale = rng / 65535.0
+        safe = jnp.where(scale > 0, scale, 1.0)
+        q = jnp.clip(jnp.round((x - mn) / safe), 0, 65535).astype(jnp.uint32)
+
+        def f32b(v):  # [B, 1] f32 -> [B, 4] uint8 little-endian
+            u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+            return jnp.concatenate(
+                [((u >> (8 * i)) & 0xFF).astype(jnp.uint8) for i in range(4)],
+                axis=1,
+            )
+
+        meta = jnp.concatenate(
+            [f32b(mn), f32b(jnp.where(scale > 0, scale, 0.0))], axis=1
+        )
+        return jnp.concatenate(
+            [(q & 0xFF).astype(jnp.uint8), (q >> 8).astype(jnp.uint8), meta],
+            axis=1,
+        )
+
+    @staticmethod
+    def f32_from_u16(buf: np.ndarray):
+        """Host decode of _u16_impl output: uint8 [B, 2N+8] ->
+        (norm f32 [B, N], qstep f64 [B]) where qstep = per-row scale
+        (a >=2x-conservative bound on the quantization error scale/2,
+        leaving headroom for the f32 decode arithmetic)."""
+        B, M = buf.shape
+        N = (M - 8) // 2
+        q = buf[:, :N].astype(np.uint16) | (
+            buf[:, N : 2 * N].astype(np.uint16) << 8
+        )
+        meta = np.ascontiguousarray(buf[:, 2 * N :])
+        mn = meta[:, 0:4].copy().view(np.float32).reshape(B, 1)
+        scale = meta[:, 4:8].copy().view(np.float32).reshape(B, 1)
+        norm = mn + q.astype(np.float32) * scale
+        return norm, scale[:, 0].astype(np.float64)
+
 
     def _occ_packed2_impl(self, mat):
         """Wire v4 occ finisher: uint8 [B, 2, core] — argmax index +
@@ -299,17 +349,18 @@ class DeviceEngine:
             self.cfg.occ.exact_tol,
         )
 
-    def _pack_run_impl(self, occ2, norm24):
-        """Fused-run download, wire v4: ONE uint8
-        [B, 2*core + 3*(core+2m)] buffer per batch — packed2 occ grid
-        indices + u24-truncated norm — so the full occ+nuc pipeline pays
-        a single upload and a single download per batch (models/fused.py)
-        at 5 bytes/bp instead of round 2's 7 (roofline r3: the download
-        link is the e2e bottleneck at 25 MB/s). norm24 arrives from the
-        standalone _u24 program (see _nucm24 note on byte-identity)."""
+    def _pack_run_impl(self, occ2, norm_packed):
+        """Fused-run download, wire v4/v5: ONE uint8 buffer per batch —
+        packed2 occ grid indices + packed norm (u24: [B, 2*core +
+        3*(core+2m)]; u16 affine: [B, 2*core + 2*(core+2m)+8]) — so the
+        full occ+nuc pipeline pays a single upload and a single download
+        per batch (models/fused.py) at ~4 bytes/bp instead of round 2's 7
+        (roofline r3: the download link is the e2e bottleneck). The norm
+        arrives from the standalone _u24/_u16 program (see _nucm24 note
+        on byte-identity)."""
         B = occ2.shape[0]
         return jnp.concatenate(
-            [occ2.reshape(B, -1), norm24.reshape(B, -1)], axis=1
+            [occ2.reshape(B, -1), norm_packed.reshape(B, -1)], axis=1
         )
 
     def _bias_impl(self, log_bias):
@@ -496,22 +547,23 @@ class DeviceEngine:
     def run_step_delta(self, db, packed_codes):
         mat = self._raster_delta(db)
         occ2 = self._occ_packed2(mat)
-        norm24 = self._u24(self._nucm(mat, self._logbias_nib(packed_codes)))
-        return self._pack_run(occ2, norm24)
+        norm16 = self._u16(self._nucm(mat, self._logbias_nib(packed_codes)))
+        return self._pack_run(occ2, norm16)
 
     def unpack_run(self, buf: np.ndarray):
-        """Host-side decode of run_step_delta output (wire v4):
+        """Host-side decode of run_step_delta output (wire v5):
         (idx int64 [B, 3, core] = decoded argmax/CI-lo/CI-up grid
-        indices, cert bool [B, core], norm f32 [B, core+2m]). Positions
-        with cert == False carry placeholder CI indices and MUST be
-        f64-refinished (models/occ.py :: _exact_refinish)."""
+        indices, cert bool [B, core], norm f32 [B, core+2m], qstep f64
+        [B] = per-window norm quantization scale). Positions with
+        cert == False carry placeholder CI indices and MUST be
+        f64-refinished (models/occ.py :: _exact_refinish); the nuc tie
+        guard widens its margin threshold by max(qstep) of the chunk
+        (models/nuc.py :: _tie_guard)."""
         B = buf.shape[0]
         n_occ = 2 * self.core
         idx, cert = self.decode_occ2(buf[:, :n_occ].reshape(B, 2, self.core))
-        norm = self.f32_from_u24(
-            buf[:, n_occ:].reshape(B, -1, 3)
-        )
-        return idx, cert, norm
+        norm, qstep = self.f32_from_u16(buf[:, n_occ:])
+        return idx, cert, norm, qstep
 
     def decode_occ2(self, raw: np.ndarray):
         """uint8 [B, 2, core] (occupancy_packed2) -> (idx int64
@@ -543,6 +595,33 @@ class DeviceEngine:
         # the fused run_step_delta truncates (same executable) — keeping
         # fused == two-pass outputs byte-identical (tests/test_fused.py)
         return self._u24(self._nucm(mat, log_bias))
+
+    # Wire-v5 nuc entry points (u16 affine-quantized norm-with-margin;
+    # decode with f32_from_u16 then host_smooth):
+    def _nucm16(self, mat, log_bias):
+        # like _nucm24: the u16 quantization runs as its OWN jitted
+        # program on _nucm's output, so fused and two-pass paths quantize
+        # bitwise-identical f32 values -> byte-identical downloads
+        # (tests/test_fused.py)
+        return self._u16(self._nucm(mat, log_bias))
+
+    def nuc_step_delta_seq_m16(self, db, packed_codes):
+        return self._nucm16(self._raster_delta(db), self._logbias_nib(packed_codes))
+
+    def nuc_step_delta_m16(self, db, log_bias):
+        return self._nucm16(self._raster_delta(db), log_bias)
+
+    def nuc_step_packed_seq_m16(self, packed, codes):
+        return self._nucm16(self._raster_packed(packed), self._logbias_seq(codes))
+
+    def nuc_step_packed_m16(self, packed, log_bias):
+        return self._nucm16(self._raster_packed(packed), log_bias)
+
+    def nuc_step_frags_m16(self, mids, sizes, valid, log_bias):
+        return self._nucm16(self._raster(mids, sizes, valid), log_bias)
+
+    def nuc_step_dense_m16(self, mat, log_bias):
+        return self._nucm16(mat, log_bias)
 
     def nuc_step_delta_seq_m24(self, db, packed_codes):
         return self._nucm24(self._raster_delta(db), self._logbias_nib(packed_codes))

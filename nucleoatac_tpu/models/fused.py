@@ -119,10 +119,11 @@ def run_fused(
             batches, dispatch,
             fetch_threads=cfg.window.fetch_threads,
         ):
-        # wire v4 (engine.unpack_run): decoded occ grid indices +
-        # certified mask + u24-decoded norm; uncertified positions carry
-        # placeholder CI bounds and are f64-refinished below
-        idx, cert_b, normm = eng.unpack_run(np.asarray(out))
+        # wire v5 (engine.unpack_run): decoded occ grid indices +
+        # certified mask + u16-decoded norm + per-window quantization
+        # steps; uncertified positions carry placeholder CI bounds and
+        # are f64-refinished below, qsteps widen the nuc tie guard
+        idx, cert_b, normm, qsteps = eng.unpack_run(np.asarray(out))
         cert = cert_b.astype(np.float64)
         occ_b = grid64[idx[:, 0]]
         lo_b = grid64[idx[:, 1]]
@@ -131,6 +132,7 @@ def run_fused(
             normm.astype(np.float64), m, nuc_stage.refinisher.gk
         )
         for r, t in enumerate(batch.meta):
+            nuc_stage.note_qstep(t.chunk_id, float(qsteps[r]))
             vals = {"occ": occ_b[r], "lower": lo_b[r], "upper": up_b[r]}
             if cfg.occ.exact:
                 vals["cert"] = cert[r]

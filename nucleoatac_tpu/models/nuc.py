@@ -222,6 +222,14 @@ class NucStage:
         for t in tiles:
             self._tiles_by_cid.setdefault(t.chunk_id, []).append(t)
         self._frags = frags
+        # per-chunk norm quantization step (wire v5): max u16 scale over
+        # the chunk's windows; added to exact_tol in the tie guard
+        self._qstep_by_cid: Dict[int, float] = {}
+
+    def note_qstep(self, cid: int, qstep: float) -> None:
+        cur = self._qstep_by_cid.get(cid, 0.0)
+        if qstep > cur:
+            self._qstep_by_cid[cid] = qstep
 
     def run(
         self,
@@ -299,13 +307,14 @@ class NucStage:
             return seq_provider.rows(batch.meta)
 
         # compact download: ONE array per batch — in exact mode the
-        # u24-truncated norm with smooth margins [B, core+2m, 3] (wire
-        # v4, engine._nucm24: the smoothed track is recomputed on host
-        # from the decoded norm, host_smooth; truncation error 1.5e-5 is
-        # covered by nuc.exact_tol's f32-vs-f64 budget) or [B, 5, W]
-        # legacy f32 (engine._nuc5). The download link bounds windows/s
-        # (25 MB/s on the relay, scripts/roofline.py).
-        sfx = "_m24" if exact else "_c"
+        # u16 affine-quantized norm with smooth margins [B, 2*(core+2m)+8]
+        # (wire v5, engine._nucm16: the smoothed track is recomputed on
+        # host from the decoded norm, host_smooth; the per-window
+        # quantization step rides the wire and WIDENS the tie guard's
+        # margin threshold below, keeping f64 certification sound) or
+        # [B, 5, W] legacy f32 (engine._nuc5). The download link bounds
+        # windows/s (scripts/roofline.py).
+        sfx = "_m16" if exact else "_c"
         # a precomputed bias track forces the log-bias upload path (the
         # on-device PWM would recompute bias from sequence)
         seq_ok = eng.pwm is not None and self.bias_source is None
@@ -375,7 +384,8 @@ class NucStage:
             fetch_threads=cfg.window.fetch_threads,
         ):
             if exact:
-                normm = eng.f32_from_u24(np.asarray(out))  # wire v4 decode
+                # wire v5 decode; qsteps widen the per-chunk tie guard
+                normm, qsteps = eng.f32_from_u16(np.asarray(out))
                 arrs = host_smooth(
                     normm.astype(np.float64), self.engine.smooth_margin(),
                     self.refinisher.gk,
@@ -384,6 +394,8 @@ class NucStage:
                 stacked = np.asarray(out, np.float64)  # [B, 5, W]
                 arrs = {n: stacked[:, i] for i, n in enumerate(names)}
             for r, t in enumerate(batch.meta):
+                if exact:
+                    self.note_qstep(t.chunk_id, float(qsteps[r]))
                 # exact mode ships core-only columns (col 0 == core_start)
                 col = 0 if exact else t.core_start - t.win_start
                 vals = {n: arrs[n][r] for n in names}
@@ -461,7 +473,11 @@ class NucStage:
         tiles = self._tiles_by_cid.get(cid, [])
         norm32 = tracks["norm"]
         smooth32 = tracks["norm_smooth"]
-        tol = p.exact_tol
+        # exact_tol bounds |device f32 - f64|; the wire-v5 u16 norm adds
+        # at most this chunk's max quantization scale on top (engine
+        # ._u16_impl: |decode - f32| <= scale/2, qstep = scale is 2x
+        # conservative). Widening tol only ever ADDS f64 fallbacks.
+        tol = p.exact_tol + self._qstep_by_cid.pop(cid, 0.0)
         bias64 = None  # built lazily
         W = eng.width
 

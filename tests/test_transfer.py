@@ -363,19 +363,44 @@ def test_u24_norm_roundtrip(rng):
     np.testing.assert_allclose(dec2, vals, rtol=2 ** -16)
 
 
+def test_u16_norm_roundtrip(rng):
+    """Wire v5 nuc: u16 affine-quantized norm decodes within the
+    advertised error bound (scale/2 per window) of the f32 track, and
+    the reported qstep bounds the actual error."""
+    cfg, eng, db, codes = _tiny(rng)
+    nib = jnp.asarray(pack_nibble_codes(codes))
+    f32 = np.asarray(eng.nuc_step_delta_seq_m(jnp.asarray(db), nib))
+    u16 = np.asarray(eng.nuc_step_delta_seq_m16(jnp.asarray(db), nib))
+    assert u16.shape == (f32.shape[0], 2 * f32.shape[1] + 8)
+    dec, qstep = eng.f32_from_u16(u16)
+    assert dec.shape == f32.shape
+    err = np.abs(dec - f32)
+    # per-row error within the per-row quantization step (qstep = scale
+    # is 2x the rounding bound scale/2; tiny slack for f32 arithmetic)
+    assert np.all(err <= qstep[:, None] * (0.5 + 1e-3) + 1e-7)
+    # constant row quantizes losslessly (scale == 0 path)
+    vals = np.array([[2.5] * 16, [-1.0] * 8 + [3.0] * 8], np.float32)
+    dev = np.asarray(jax.jit(eng._u16_impl)(jnp.asarray(vals)))
+    dec2, q2 = eng.f32_from_u16(dev)
+    np.testing.assert_array_equal(dec2[0], vals[0])
+    assert q2[0] == 0.0
+    np.testing.assert_allclose(dec2[1], vals[1], atol=q2[1])
+
+
 def test_run_step_delta_unpack_matches_stages(rng):
-    """The fused v4 packed buffer round-trips to exactly the packed2 occ
-    decode + u24 norm decode of the separate stage outputs."""
+    """The fused v5 packed buffer round-trips to exactly the packed2 occ
+    decode + u16 norm decode of the separate stage outputs."""
     cfg, eng, db, codes = _tiny(rng)
     nib = jnp.asarray(pack_nibble_codes(codes))
     buf = np.asarray(eng.run_step_delta(jnp.asarray(db), nib))
-    idx, cert, norm = eng.unpack_run(buf)
+    idx, cert, norm, qstep = eng.unpack_run(buf)
     idx_s, cert_s = eng.decode_occ2(
         np.asarray(eng.occ_step_delta_p2(jnp.asarray(db)))
     )
-    norm_s = eng.f32_from_u24(
-        np.asarray(eng.nuc_step_delta_seq_m24(jnp.asarray(db), nib))
+    norm_s, qstep_s = eng.f32_from_u16(
+        np.asarray(eng.nuc_step_delta_seq_m16(jnp.asarray(db), nib))
     )
     np.testing.assert_array_equal(idx, idx_s)
     np.testing.assert_array_equal(cert, cert_s)
     np.testing.assert_array_equal(norm, norm_s)
+    np.testing.assert_array_equal(qstep, qstep_s)
