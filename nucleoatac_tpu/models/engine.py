@@ -12,12 +12,16 @@ Compilation structure (important on the axon backend): the pipeline is
 FIVE small jitted stages chained through device-resident intermediates —
 rasterize, occupancy, bias matrix, conv stack, elementwise finish —
 rather than one fused program. Two reasons, both measured in round 1:
-(1) the monolithic conv+bias+elementwise program miscompiles to all-zero
-outputs on the experimental axon TPU backend while every stage is correct
-in isolation; (2) remote compiles scale badly with program size (85 s for
-the conv stage alone vs >9.5 min for the fused program). Dispatch
-overhead between stages is microseconds against millisecond-scale stage
-runtimes.
+(1) the monolithic conv+bias+elementwise program miscompiled to all-zero
+/ O(1)-error outputs on the experimental axon TPU backend while every
+stage was correct in isolation — NO LONGER REPRODUCES as of 2026-08-20
+(scripts/repro_axon_miscompile.py: max |fused-chained| ~2.5e-6 at B=8
+and B=64, core=1024; the backend has evidently been fixed); (2) remote
+compiles scale badly with program size (85 s for the conv stage alone vs
+>9.5 min for the fused program) — still true, and the chained stages
+hide entirely under the host<->device wire anyway (roofline r3), so the
+chain remains the production structure. Dispatch overhead between stages
+is microseconds against millisecond-scale stage runtimes.
 """
 from __future__ import annotations
 

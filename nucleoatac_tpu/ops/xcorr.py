@@ -187,10 +187,12 @@ def nuc_scores_batch(
     bo = jnp.pad(bo, pad)
     # Keep the conv stage and the elementwise normalization in separate
     # fusions: on the experimental axon TPU backend the fully fused
-    # conv+bias+elementwise program miscompiles to all-zero outputs
-    # (each stage verified correct in isolation — see tests and the
-    # round-1 debugging probes); the barrier sidesteps that and costs
-    # one HBM round-trip of the [B, 8, W] conv outputs.
+    # conv+bias+elementwise program miscompiled to all-zero outputs in
+    # rounds 1-2 (fixed upstream by 2026-08-20 — see
+    # scripts/repro_axon_miscompile.py — but the barrier costs only one
+    # HBM round-trip of the [B, 8, W] conv outputs and keeps this
+    # monolithic fallback verifiable against the chained production
+    # path, so it stays).
     fo, bo = jax.lax.optimization_barrier((fo, bo))
 
     signal, n, flogv, foff, foff2 = (fo[:, i] for i in range(5))

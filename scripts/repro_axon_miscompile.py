@@ -17,6 +17,15 @@ Control on CPU (both paths agree there):      python scripts/repro_axon_miscompi
 
 Exit code: 0 = fused matches chained (no miscompile on this backend),
 1 = mismatch reproduced.
+
+Result history:
+- rounds 1-2 (prose records): fused norm off by O(1) at B>=8, core=1024.
+- 2026-08-20 (this script, axon TPU v5e): NO divergence — max
+  |fused-chained| 2.2e-6 at B=8 and 2.5e-6 at B=64 (core=1024); the
+  backend bug was evidently fixed upstream. The production engine keeps
+  the chained-stage structure anyway: remote compiles scale badly with
+  program size (>9.5 min fused vs 85 s for the largest stage) and the
+  device chain hides entirely under the relay wire (PARITY.md roofline).
 """
 from __future__ import annotations
 

@@ -135,3 +135,34 @@ def test_occ_bedgraph_matches_inmemory_tracks(result):
         c, a, b, v = line.split("\t")
         dense[int(a) - 500 : int(b) - 500] = float(v)
     np.testing.assert_allclose(dense, np.round(tr, 5), atol=1e-9)
+
+
+def test_pipelined_threaded_matches_serial():
+    """_pipelined with a fetch pool yields the same (order, values) as
+    the serial async path — the pool only changes WHERE np.asarray runs
+    (probe_parallel_fetch.py wire finding), never results."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nucleoatac_tpu.models.occ import _pipelined
+
+    items = [np.full((4, 8), i, np.float32) for i in range(12)]
+
+    def dispatch(x):
+        return jnp.asarray(x) * 2.0
+
+    serial = [
+        (i, np.asarray(o))
+        for i, o in _pipelined(iter(items), dispatch, depth=2)
+    ]
+    threaded = [
+        (i, np.asarray(o))
+        for i, o in _pipelined(
+            iter(items), dispatch, depth=2, fetch_threads=4
+        )
+    ]
+    assert len(serial) == len(threaded) == len(items)
+    for (a, va), (b, vb) in zip(serial, threaded):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(va, vb)
+        assert isinstance(vb, np.ndarray)
