@@ -391,6 +391,22 @@ class DeviceEngine:
         half = K // 2
         W = fmat.shape[2]
         pad = ((0, 0), (0, 0), (half, W - half - (W - K + 1)))
+        if self.conv_mode == "diag_pallas":
+            # fused Pallas kernel (ops/pallas_diag.py): H stays in VMEM,
+            # measured 1.56x the XLA diag path AND closer to f64 (f32
+            # MXU passes vs bf16x3; probe_pallas_diag.py 2026-08-20:
+            # 0.98 vs 1.53 ms/stack, 1.2e-4 vs 1.1e-2 max err). Opt-in
+            # while the chain hides under the relay wire; interpret mode
+            # on non-TPU backends (Mosaic only lowers for TPU).
+            import jax as _jax
+
+            from nucleoatac_tpu.ops.pallas_diag import nuc_conv_outputs_pallas
+
+            interp = _jax.devices()[0].platform not in ("tpu",)
+            fo, bo = nuc_conv_outputs_pallas(
+                fmat, b0, *self._diag_kernels, interpret=interp
+            )
+            return jnp.pad(fo, pad), jnp.pad(bo, pad)
         if self.conv_mode == "diag":
             from nucleoatac_tpu.ops.xcorr import nuc_conv_outputs_diag
 
