@@ -74,6 +74,8 @@ def main() -> None:
                          "'auto' alternates 0/8 across repeats and keeps "
                          "the best — relay throughput swings 10-40x within "
                          "an hour, so neither setting dominates reliably")
+    ap.add_argument("--wire", default="delta12", choices=["delta12", "delta"],
+                    help="upload format (delta12 = wire v6, production)")
     ap.add_argument("--cpu-windows", type=int, default=8)
     ap.add_argument("--platform", default=None, help="force jax platform")
     ap.add_argument("--breakdown", action="store_true",
@@ -99,7 +101,14 @@ def main() -> None:
     wp = engine.seq_codes_width()
     rng = np.random.default_rng(1)
 
+    from nucleoatac_tpu.models.data import (
+        delta12_entry_capacity,
+        encode_delta12_batch,
+    )
+
     n_entries = F + W // 255 + 1
+    E12 = delta12_entry_capacity(F, W)
+    use_v6 = args.wire == "delta12"
 
     def run_loop(mids, szs, nibs, collect=None, fetch_threads=0):
         """The production loop: encode -> upload -> chained stages ->
@@ -108,15 +117,19 @@ def main() -> None:
 
         def gen():
             for i in range(n):
-                db = np.zeros((B, n_entries, 2), np.uint8)
-                encode_delta_batch(mids[i], szs[i], db)
+                if use_v6:
+                    db = np.zeros((B, E12 // 2 + E12), np.uint8)
+                    encode_delta12_batch(mids[i], szs[i], db)
+                else:
+                    db = np.zeros((B, n_entries, 2), np.uint8)
+                    encode_delta_batch(mids[i], szs[i], db)
                 yield i, db
+
+        step = engine.run_step_delta12 if use_v6 else engine.run_step_delta
 
         def dispatch(item):
             i, db = item
-            return engine.run_step_delta(
-                jnp.asarray(db), jnp.asarray(nibs[i])
-            )
+            return step(jnp.asarray(db), jnp.asarray(nibs[i]))
 
         t0 = time.perf_counter()
         for _, out in _pipelined(gen(), dispatch, depth=args.depth,
@@ -156,15 +169,18 @@ def main() -> None:
         t0 = time.perf_counter()
         dbs = []
         for i in range(args.batches):
-            db = np.zeros((B, n_entries, 2), np.uint8)
-            encode_delta_batch(mids[i], szs[i], db)
+            if use_v6:
+                db = np.zeros((B, E12 // 2 + E12), np.uint8)
+                encode_delta12_batch(mids[i], szs[i], db)
+            else:
+                db = np.zeros((B, n_entries, 2), np.uint8)
+                encode_delta_batch(mids[i], szs[i], db)
             dbs.append(db)
         t_enc = (time.perf_counter() - t0) / args.batches
+        step = engine.run_step_delta12 if use_v6 else engine.run_step_delta
 
         def dispatch(i):
-            return engine.run_step_delta(
-                jnp.asarray(dbs[i]), jnp.asarray(nibs[i])
-            )
+            return step(jnp.asarray(dbs[i]), jnp.asarray(nibs[i]))
 
         t0 = time.perf_counter()
         for _, out in _pipelined(range(args.batches), dispatch,

@@ -53,7 +53,7 @@ def _tune(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument(
         "--transfer", default=WindowParams.transfer,
-        choices=["delta", "packed", "frags", "dense"],
+        choices=["delta12", "delta", "packed", "frags", "dense"],
         help="host->device wire format (DESIGN.md §10)",
     )
 
@@ -62,13 +62,13 @@ def build_config(args: argparse.Namespace) -> RunConfig:
     cfg = RunConfig()
     transfer = getattr(args, "transfer", cfg.window.transfer)
     upper = getattr(args, "upper", cfg.sizes.upper)
-    if transfer == "delta" and upper > 255:
+    if transfer in ("delta", "delta12") and upper > 255:
         import sys
 
         print(
             f"WARNING: --upper {upper} > 255 is incompatible with the "
-            "'delta' wire format (uint8 size field); falling back to "
-            "'packed'",
+            f"'{transfer}' wire format (uint8 size field); falling back "
+            "to 'packed'",
             file=sys.stderr,
         )
         transfer = "packed"

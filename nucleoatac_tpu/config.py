@@ -114,13 +114,16 @@ class WindowParams:
     # amortize the link; 64 divides any power-of-two device mesh
     batch: int = 64
     frag_cap: int = 32768  # padded fragments per batch bucket
-    # host->device transfer format: "delta" uploads 2-byte (delta, size)
+    # host->device transfer format: "delta12" uploads 12-bit records
+    # (4-bit midpoint-delta nibble plane + size-byte plane, wire v6 —
+    # 25% fewer upload bytes; models/data.py::Delta12Batch);
+    # "delta" uploads 2-byte (delta, size)
     # uint8 pairs (+ nibble-packed sequence codes for the nuc stage) and
     # decodes/rasterizes on device — the production format, least bytes
     # on the tunnel link that bounds windows/s; "packed" uploads int32
     # (size<<16)|mid words; "frags" uploads separate mids/sizes/valid
     # arrays; "dense" uploads host-rasterized int16 count matrices
-    transfer: str = "delta"
+    transfer: str = "delta12"
     # concurrent device->host fetch threads in the pipelined batch loop
     # (models/occ.py :: _pipelined). The remote relay's download stream is
     # per-fetch limited, so concurrent fetches of distinct batch buffers
@@ -161,11 +164,12 @@ class RunConfig:
         # 255), so any size >= 255 would collapse into the 255 bin and be
         # miscounted when upper > 255. Refuse rather than silently corrupt;
         # the CLI falls back to "packed" with a warning (cli/nucleoatac.py).
-        if self.window.transfer == "delta" and self.sizes.upper > 255:
+        if self.window.transfer in ("delta", "delta12") and self.sizes.upper > 255:
             raise ValueError(
                 f"sizes.upper={self.sizes.upper} > 255 is incompatible with "
-                "the 'delta' wire format (uint8 size field saturates at "
-                "255); use transfer='packed' or lower --upper"
+                f"the '{self.window.transfer}' wire format (uint8 size "
+                "field saturates at 255); use transfer='packed' or lower "
+                "--upper"
             )
         # occupancy_packed ships grid indices as uint8
         if self.occ.grid_size > 256:

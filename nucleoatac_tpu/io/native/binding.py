@@ -41,6 +41,44 @@ try:
 except AttributeError:  # stale .so without the symbol
     HAS_ENCODE_DELTA = False
 
+try:
+    _lib.nucio_encode_delta12.restype = ctypes.c_int
+    _lib.nucio_encode_delta12.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
+    HAS_ENCODE_DELTA12 = True
+except AttributeError:
+    HAS_ENCODE_DELTA12 = False
+
+
+def encode_delta12_native(
+    mids: np.ndarray, sizes: np.ndarray, counts: np.ndarray, out: np.ndarray
+) -> None:
+    """C++ wire-v6 batch encode (nucio.cpp :: nucio_encode_delta12).
+
+    out: ZEROED [B, E//2 + E] uint8 (E even record capacity)."""
+    B, F = mids.shape
+    E = 2 * out.shape[1] // 3
+    rc = _lib.nucio_encode_delta12(
+        mids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        B, F,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        E,
+    )
+    if rc == -1:
+        raise ValueError(
+            f"delta12-encode overflow: a window needs more than {E} "
+            "records; raise frag_cap"
+        )
+    if rc == -2:
+        raise ValueError(
+            "encode_delta12 requires midpoint-sorted mids >= 0"
+        )
+
 
 def encode_delta_native(
     mids: np.ndarray, sizes: np.ndarray, counts: np.ndarray, out: np.ndarray

@@ -295,4 +295,53 @@ int nucio_encode_delta(const int32_t* mids, const int32_t* sizes,
   return 0;
 }
 
+// Wire-v6 batch encoder: 12-bit records (4-bit midpoint-delta nibble
+// plane, then size-byte plane) — models/data.py :: encode_delta12_batch.
+// A fragment record advances by its nibble (0..14); gaps > 14 bp are
+// split into skip records (size byte 0) each advancing nibble*15
+// (<= 225 bp). out row layout: [E/2 nibble bytes][E size bytes], E even.
+// Returns 0, -1 on capacity overflow, -2 on unsorted mids.
+int nucio_encode_delta12(const int32_t* mids, const int32_t* sizes,
+                         const int64_t* counts, int B, int F,
+                         uint8_t* out, int n_entries) {
+  const int nb = n_entries / 2;
+  const size_t row_bytes = static_cast<size_t>(nb) + n_entries;
+  for (int b = 0; b < B; ++b) {
+    const int32_t* m = mids + static_cast<size_t>(b) * F;
+    const int32_t* s = sizes + static_cast<size_t>(b) * F;
+    uint8_t* o = out + static_cast<size_t>(b) * row_bytes;
+    uint8_t* sz_plane = o + nb;
+    long n = counts[b];
+    long k = 0;
+    int prev = 0;
+    auto put_nibble = [&](long idx, uint8_t v) {
+      if (idx & 1) {
+        o[idx >> 1] = static_cast<uint8_t>(o[idx >> 1] | (v << 4));
+      } else {
+        o[idx >> 1] = static_cast<uint8_t>(o[idx >> 1] | v);
+      }
+    };
+    for (long i = 0; i < n; ++i) {
+      int d = m[i] - prev;
+      if (d < 0) return -2;
+      int u = d / 15;              // 15-bp units carried by skips
+      int frag_d = d - u * 15;     // 0..14
+      while (u > 0) {
+        int v = u > 15 ? 15 : u;   // skip record advances v*15
+        if (k >= n_entries) return -1;
+        put_nibble(k, static_cast<uint8_t>(v));  // size byte stays 0
+        ++k;
+        u -= v;
+      }
+      if (k >= n_entries) return -1;
+      put_nibble(k, static_cast<uint8_t>(frag_d));
+      int sz = s[i];
+      sz_plane[k] = static_cast<uint8_t>(sz > 255 ? 255 : sz);
+      ++k;
+      prev = m[i];
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -113,6 +113,14 @@ try:  # C++ batch encoder (io/native/nucio.cpp :: nucio_encode_delta)
 except Exception:  # libnucio.so absent/stale -> numpy fallback
     _HAS_NATIVE_ENCODE = False
 
+try:  # C++ wire-v6 encoder (io/native/nucio.cpp :: nucio_encode_delta12)
+    from nucleoatac_tpu.io.native.binding import (
+        HAS_ENCODE_DELTA12 as _HAS_NATIVE_ENCODE12,
+        encode_delta12_native as _encode_delta12_native,
+    )
+except Exception:
+    _HAS_NATIVE_ENCODE12 = False
+
 
 def encode_delta_batch(
     mids: np.ndarray,
@@ -142,6 +150,84 @@ def encode_delta_batch(
         encode_delta_fragments(mids[b, :n], sizes[b, :n], out, b)
 
 
+def delta12_entry_capacity(frag_cap: int, width: int) -> int:
+    """Record capacity of the wire-v6 upload for a window: fragments plus
+    the worst-case skip-record count. Each skip record advances up to
+    15*15 = 225 bp, and ceil(u/15) <= u for u >= 1 bounds total skips by
+    the total 15-bp unit count, itself <= width // 15. Rounded even so
+    the nibble plane splits cleanly."""
+    e = frag_cap + width // 15 + 2
+    return e + (e % 2)
+
+
+def encode_delta12_fragments(
+    mids: np.ndarray, sizes: np.ndarray, out: np.ndarray, row: int
+) -> int:
+    """Encode one window's sorted (mid, size) lists into the wire-v6
+    12-bit/record buffer row (ops/rasterize.py ::
+    unpack_delta12_fragments): out[row] is uint8 [E//2 + E], zeroed —
+    nibble-packed delta plane then size-byte plane. Returns the record
+    count. A fragment record advances by its nibble (0..14); gaps > 14
+    are split into skip records (size byte 0) advancing nibble*15 each.
+    1.5 bytes/record vs the 2-byte pair format."""
+    M = out.shape[1]
+    E = 2 * M // 3
+    n = len(mids)
+    if n == 0:
+        return 0
+    d = np.diff(mids.astype(np.int64), prepend=0)
+    if d.min() < 0:
+        raise ValueError(
+            "encode_delta12_fragments requires midpoint-sorted mids >= 0"
+        )
+    u = d // 15  # 15-bp units the skips must cover
+    frag_d = (d - u * 15).astype(np.uint8)  # 0..14
+    nskip = -(-u // 15)  # ceil: each skip record carries <= 15 units
+    total = int(n + nskip.sum())
+    if total > E:
+        raise ValueError(
+            f"delta12 capacity {E} records < {total} needed; raise frag_cap"
+        )
+    pos = np.cumsum(nskip + 1) - 1  # record index of each real fragment
+    dvals = np.full(total, 15, np.uint8)  # default skip: 15 units = 225 bp
+    svals = np.zeros(total, np.uint8)
+    dvals[pos] = frag_d
+    svals[pos] = np.minimum(sizes, 255).astype(np.uint8)
+    has = nskip > 0
+    # the skip just before each fragment carries the remainder units
+    dvals[pos[has] - 1] = (u - (nskip - 1) * 15)[has].astype(np.uint8)
+    dn = np.zeros(E, np.uint8)
+    dn[:total] = dvals
+    nb = E // 2
+    out[row, :nb] = dn[0::2] | (dn[1::2] << 4)
+    out[row, nb : nb + total] = svals
+    return total
+
+
+def encode_delta12_batch(
+    mids: np.ndarray,
+    sizes: np.ndarray,
+    out: np.ndarray,
+    counts: np.ndarray | None = None,
+) -> None:
+    """Encode a whole [B, F] batch into the zeroed wire-v6 buffer
+    [B, E//2 + E] (native C++ when libnucio.so exports it, else the
+    per-row numpy path)."""
+    B, F = mids.shape
+    if counts is None:
+        counts = np.full(B, F, dtype=np.int64)
+    else:
+        counts = np.ascontiguousarray(counts, dtype=np.int64)
+    if _HAS_NATIVE_ENCODE12:
+        m32 = np.ascontiguousarray(mids, dtype=np.int32)
+        s32 = np.ascontiguousarray(sizes, dtype=np.int32)
+        _encode_delta12_native(m32, s32, counts, out)
+        return
+    for b in range(B):
+        n = int(counts[b])
+        encode_delta12_fragments(mids[b, :n], sizes[b, :n], out, b)
+
+
 def pack_nibble_codes(codes: np.ndarray) -> np.ndarray:
     """[B, wp] uint8 base codes (values 0..4) -> [B, ceil(wp/2)] bytes,
     low nibble first (ops/pwmseq.py :: unpack_nibble_codes)."""
@@ -151,6 +237,49 @@ def pack_nibble_codes(codes: np.ndarray) -> np.ndarray:
             [codes, np.full((B, 1), 4, dtype=np.uint8)], axis=1
         )
     return (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)
+
+
+@dataclass
+class Delta12Batch:
+    """Wire-v6 upload: 12 bits per fragment record (4-bit midpoint delta
+    nibble-plane + 8-bit size plane; encode_delta12_fragments). ~25%
+    fewer upload bytes than DeltaBatch — the upload stream binds e2e
+    windows/s once wire v5 shrank the download below it."""
+
+    buf: np.ndarray  # [B, E//2 + E] uint8
+    meta: Sequence[TileMeta]
+
+
+def make_delta12_batches(
+    frags: BamFragments,
+    tiles: Sequence[TileMeta],
+    width: int,
+    batch: int,
+    frag_cap: int | None = None,
+) -> Iterator[Delta12Batch]:
+    """Fixed-shape wire-v6 batches (see Delta12Batch)."""
+    if frag_cap is None:
+        frag_cap = _bucket(max_window_frags(frags, tiles, width))
+    E = delta12_entry_capacity(frag_cap, width)
+    M = E // 2 + E
+    for i in range(0, len(tiles), batch):
+        group = list(tiles[i : i + batch])
+        buf = np.zeros((batch, M), dtype=np.uint8)
+        mids = np.zeros((batch, frag_cap), dtype=np.int32)
+        sizes = np.zeros((batch, frag_cap), dtype=np.int32)
+        counts = np.zeros(batch, dtype=np.int64)
+        for r, t in enumerate(group):
+            m, s = frags.window(t.chrom, t.win_start, t.win_start + width)
+            if len(m) > frag_cap:
+                raise ValueError(
+                    f"window at {t.chrom}:{t.win_start} has {len(m)} "
+                    f"fragments > frag_cap {frag_cap}; raise frag_cap"
+                )
+            mids[r, : len(m)] = m - t.win_start
+            sizes[r, : len(s)] = s
+            counts[r] = len(m)
+        encode_delta12_batch(mids, sizes, buf, counts)
+        yield Delta12Batch(buf, group)
 
 
 def make_delta_batches(

@@ -133,6 +133,7 @@ class DeviceEngine:
         self._raster = jax.jit(self._raster_impl, **jit_kwargs)
         self._raster_packed = jax.jit(self._raster_packed_impl, **jit_kwargs)
         self._raster_delta = jax.jit(self._raster_delta_impl, **jit_kwargs)
+        self._raster_delta12 = jax.jit(self._raster_delta12_impl, **jit_kwargs)
         if pwm is not None:
             self._logbias_seq = jax.jit(self._logbias_seq_impl, **jit_kwargs)
             self._logbias_nib = jax.jit(self._logbias_nib_impl, **jit_kwargs)
@@ -177,6 +178,19 @@ class DeviceEngine:
         the bytes of the int32 packed words)."""
         return rasterize_delta_batch(
             db, self.cfg.sizes.lower, self.cfg.sizes.upper, self.width
+        )
+
+    def _raster_delta12_impl(self, buf):
+        """On-device rasterization from the 12-bit/record wire-v6 upload
+        (models/data.py :: Delta12Batch; 25% fewer bytes than delta —
+        the upload stream binds e2e once the v5 download shrank below
+        it). Record count is recovered from the buffer width
+        (M = E//2 + E, E even)."""
+        from nucleoatac_tpu.ops.rasterize import rasterize_delta12_batch
+
+        E = 2 * buf.shape[1] // 3
+        return rasterize_delta12_batch(
+            buf, E, self.cfg.sizes.lower, self.cfg.sizes.upper, self.width
         )
 
     def _logbias_nib_impl(self, packed_codes):
@@ -595,6 +609,36 @@ class DeviceEngine:
         lo = best - (raw[:, 1] & 0xF)
         up = np.minimum(best + (raw[:, 1] >> 4), G - 1)
         return np.stack([best, lo, up], axis=1), cert
+
+    # Wire-v6 upload entry points (12-bit fragment records; same
+    # downstream programs as the delta set — only rasterization differs):
+    def run_step_delta12(self, buf, packed_codes):
+        mat = self._raster_delta12(buf)
+        occ2 = self._occ_packed2(mat)
+        norm16 = self._u16(self._nucm(mat, self._logbias_nib(packed_codes)))
+        return self._pack_run(occ2, norm16)
+
+    def occ_step_delta12_p2(self, buf):
+        return self._occ_packed2(self._raster_delta12(buf))
+
+    def occ_step_delta12_c3(self, buf):
+        return self._occ_packed3(self._raster_delta12(buf))
+
+    def nuc_step_delta12_seq_m16(self, buf, packed_codes):
+        return self._nucm16(
+            self._raster_delta12(buf), self._logbias_nib(packed_codes)
+        )
+
+    def nuc_step_delta12_m16(self, buf, log_bias):
+        return self._nucm16(self._raster_delta12(buf), log_bias)
+
+    def nuc_step_delta12_seq_c(self, buf, packed_codes):
+        return self._nuc5(
+            self._raster_delta12(buf), self._logbias_nib(packed_codes)
+        )
+
+    def nuc_step_delta12_c(self, buf, log_bias):
+        return self._nuc5(self._raster_delta12(buf), log_bias)
 
     # Wire-v4 occ entry points (2-byte packed; REQUIRES occ.exact —
     # CI-delta overflow routes through the f64 refinisher):

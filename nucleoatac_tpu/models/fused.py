@@ -45,7 +45,7 @@ def fused_supported(cfg: RunConfig, engine: DeviceEngine) -> bool:
     deltas and u24 norm both lean on the f64 refinishers); anything else
     falls back to the two-pass drivers."""
     return (
-        cfg.window.transfer == "delta"
+        cfg.window.transfer in ("delta", "delta12")
         and engine.pwm is not None
         and cfg.nuc.exact
         and cfg.occ.exact
@@ -98,11 +98,25 @@ def run_fused(
     seq_provider = SeqCodesProvider(nuc_stage.fasta, chunks, eng, cfg.window.batch)
     from nucleoatac_tpu.models.data import pack_nibble_codes
 
-    def dispatch(batch):
-        nib = pack_nibble_codes(seq_provider.rows(batch.meta))
-        return eng.run_step_delta(jnp.asarray(batch.delta), jnp.asarray(nib))
+    if cfg.window.transfer == "delta12":
+        from nucleoatac_tpu.models.data import make_delta12_batches
 
-    batches = make_delta_batches(frags, tiles, eng.width, cfg.window.batch)
+        def dispatch(batch):
+            nib = pack_nibble_codes(seq_provider.rows(batch.meta))
+            return eng.run_step_delta12(
+                jnp.asarray(batch.buf), jnp.asarray(nib)
+            )
+
+        batches = make_delta12_batches(frags, tiles, eng.width, cfg.window.batch)
+    else:
+
+        def dispatch(batch):
+            nib = pack_nibble_codes(seq_provider.rows(batch.meta))
+            return eng.run_step_delta(
+                jnp.asarray(batch.delta), jnp.asarray(nib)
+            )
+
+        batches = make_delta_batches(frags, tiles, eng.width, cfg.window.batch)
     grid64 = mix.alpha_grid(cfg.occ)
 
     def occ_lookup(cid, chunk, pos):

@@ -318,7 +318,34 @@ class NucStage:
         # a precomputed bias track forces the log-bias upload path (the
         # on-device PWM would recompute bias from sequence)
         seq_ok = eng.pwm is not None and self.bias_source is None
-        if cfg.window.transfer == "delta" and seq_ok:
+        if cfg.window.transfer == "delta12" and seq_ok:
+            step = getattr(eng, "nuc_step_delta12_seq" + sfx)
+
+            def dispatch(batch):
+                return step(
+                    jnp.asarray(batch.buf),
+                    jnp.asarray(pack_nibble_codes(batch_seq_codes(batch))),
+                )
+
+            from nucleoatac_tpu.models.data import make_delta12_batches
+
+            batches = make_delta12_batches(
+                frags, tiles, eng.width, cfg.window.batch
+            )
+        elif cfg.window.transfer == "delta12":
+            step = getattr(eng, "nuc_step_delta12" + sfx)
+
+            def dispatch(batch):
+                return step(
+                    jnp.asarray(batch.buf), jnp.asarray(batch_log_bias(batch))
+                )
+
+            from nucleoatac_tpu.models.data import make_delta12_batches
+
+            batches = make_delta12_batches(
+                frags, tiles, eng.width, cfg.window.batch
+            )
+        elif cfg.window.transfer == "delta" and seq_ok:
             step = getattr(eng, "nuc_step_delta_seq" + sfx)
 
             def dispatch(batch):

@@ -200,7 +200,18 @@ class OccStage:
         # refinisher); non-exact mode keeps wire v2 (occ_step_*_c3,
         # 3 bytes/bp, full CI indices — no refinisher to fall back on).
         sfx = "_p2" if cfg.occ.exact else "_c3"
-        if cfg.window.transfer == "delta":
+        if cfg.window.transfer == "delta12":
+            step = getattr(eng, "occ_step_delta12" + sfx)
+
+            def dispatch(batch):
+                return step(jnp.asarray(batch.buf))
+
+            from nucleoatac_tpu.models.data import make_delta12_batches
+
+            batches = make_delta12_batches(
+                frags, tiles, eng.width, cfg.window.batch
+            )
+        elif cfg.window.transfer == "delta":
             step = getattr(eng, "occ_step_delta" + sfx)
 
             def dispatch(batch):

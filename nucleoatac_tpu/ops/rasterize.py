@@ -52,6 +52,38 @@ def unpack_delta_fragments(db: jax.Array):
     return mids, s, s > 0
 
 
+def unpack_delta12_fragments(buf: jax.Array, n_entries: int):
+    """Unpack the 12-bit/record upload format (wire v6,
+    models/data.py :: encode_delta12_fragments).
+
+    ``buf`` is uint8 [B, ceil(E/2) + E]: a nibble-packed delta plane
+    (2 records/byte, low nibble first) followed by the size-byte plane.
+    A record advances the running midpoint by ``d`` (size s in [1, 255]:
+    a real fragment) or by ``d * 15`` (s == 0: a skip record splitting
+    gaps > 14 bp; also zero padding, which advances 0). 1.5 bytes per
+    record vs the 2-byte (delta, size) pair format — the upload side of
+    the relay link binds e2e windows/s once the wire-v5 download shrank
+    below it (PARITY.md round-3 roofline)."""
+    E = n_entries
+    nib_bytes = (E + 1) // 2
+    nib = buf[:, :nib_bytes].astype(jnp.int32)
+    d = jnp.stack([nib & 0xF, nib >> 4], axis=-1).reshape(
+        buf.shape[0], -1
+    )[:, :E]
+    s = buf[:, nib_bytes : nib_bytes + E].astype(jnp.int32)
+    adv = jnp.where(s == 0, d * 15, d)
+    mids = jnp.cumsum(adv, axis=1)
+    return mids, s, s > 0
+
+
+def rasterize_delta12_batch(
+    buf: jax.Array, n_entries: int, lower: int, upper: int, width: int
+) -> jax.Array:
+    """Wire-v6 upload decode + rasterize (see unpack_delta12_fragments)."""
+    mids, sizes, valid = unpack_delta12_fragments(buf, n_entries)
+    return rasterize_batch(mids, sizes, valid, lower, upper, width)
+
+
 def rasterize_delta_batch(
     db: jax.Array, lower: int, upper: int, width: int
 ) -> jax.Array:
