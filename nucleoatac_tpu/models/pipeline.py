@@ -211,6 +211,21 @@ def run_pipeline(
                     )
                     log.info("nuc: %d dyads (%d redundant)",
                              len(nuc_res.calls), len(nuc_res.redundant))
+                # NFR must consume the SAME occ surface in both the fused
+                # and two-pass paths: the written bedgraphs (5-decimal
+                # print surface — also the reference contract: its nfr
+                # stage reads the occ bedgraph, not process memory).
+                # Without this swap a value within 5e-6 of an NFR
+                # threshold could make fused and two-pass nfrpos.bed
+                # diverge (round-3 review finding).
+                from nucleoatac_tpu.models.standalone import (
+                    OccTrackReader,
+                    _LazyOccTracks,
+                )
+
+                occ_res.tracks = _LazyOccTracks(
+                    OccTrackReader(out_prefix), chunks
+                )
         np.savetxt(
             f"{out_prefix}.nuc_dist.txt", nuc_res.nuc_dist[None], fmt="%d",
             delimiter="\t",

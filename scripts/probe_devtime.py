@@ -157,7 +157,7 @@ def main():
         m = m.at[0, 0, 0].set(acc)
         return m, o3[0, 0, i % eng.core].astype(jnp.float32) + acc * 0.5
 
-    results["occupancy (packed3)"] = slope_time(
+    results["occupancy (packed2)"] = slope_time(
         lambda n: loop(n, occ_body, (mat0,))
     )
 
@@ -178,7 +178,9 @@ def main():
         o3 = eng._occ_packed2_impl(m)
         nm = eng._nuc1m_impl(*eng._convs_impl(m, eng._bias_impl(
             eng._logbias_nib_impl(nb))))
-        pk = eng._pack_run_impl(o3, nm)
+        # production chain includes the u16 quantize stage; packing raw
+        # f32 norm would change the pack dtype/bytes (review finding)
+        pk = eng._pack_run_impl(o3, eng._u16_impl(nm))
         d = d.at[0, 0, 1].set((acc.astype(jnp.int32) % 199 + 1).astype(jnp.uint8))
         nb = nb.at[0, 0].set((acc.astype(jnp.int32) % 67).astype(jnp.uint8))
         return d, nb, pk[0, i % pk.shape[1]].astype(jnp.float32) + acc * 0.5

@@ -119,7 +119,11 @@ def main():
     fo0, bo0 = eng._convs(mat0, b00)
     occ20 = eng._occ_packed2(mat0)
     norm0 = eng._nuc1m(fo0, bo0)
-    packed0 = eng._pack_run(occ20, norm0)
+    # u16-quantize BEFORE packing — _pack_run's production input is the
+    # uint8 _u16 output; feeding raw f32 norm silently promotes the
+    # whole packed buffer to f32 and inflates every download-bytes
+    # figure ~2.9x (round-3 review finding)
+    packed0 = eng._pack_run(occ20, eng._u16(norm0))
     _t("all dispatched")
     np.asarray(packed0)  # true sync (first fetch pays the process stall)
     _t("first fetch done")

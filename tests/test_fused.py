@@ -90,3 +90,53 @@ def test_fused_evicts_occ_tracks_when_not_kept(tmp_path):
     tr = lazy[0]
     assert set(tr) == {"occ", "lower", "upper"}
     assert len(tr["occ"]) == len(chunks[0])
+
+
+def test_fused_and_two_pass_nfr_consume_same_occ_surface(tmp_path):
+    """NFR must see the SAME occ values in both run paths: the written
+    bedgraph print surface (also the reference contract — its nfr stage
+    reads the occ bedgraph). Round-3 review finding: the two-pass path
+    used to hand NFR the exact in-memory tracks, which can flip an NFR
+    threshold decision within 5e-6 of max_occ_upper."""
+    from nucleoatac_tpu.models.nfr import call_nfrs
+    from nucleoatac_tpu.models.merge import merge_maps
+    from nucleoatac_tpu.models.standalone import OccTrackReader, _LazyOccTracks
+
+    ex = make_example(tmp_path)
+    cfg = RunConfig(window=WindowParams(core=256, batch=4))
+    frags = scan_bam(ex["bam"])
+    chunks = ChunkList.read(ex["bed"], frags.chrom_dict).merge()
+    fs, mix = fit_mixture(frags, chunks, cfg)
+    pwm = PWM.default()
+    fasta = FastaFile(ex["fasta"])
+    engine = DeviceEngine(cfg, mix, fs, pwm=pwm)
+
+    def nfr_rows(prefix, occ_tracks, nuc_res, occ_res):
+        combined = merge_maps(nuc_res.calls, occ_res.peaks, cfg.occ.occ_sep)
+        nfrs = call_nfrs(
+            cfg, chunks, combined, occ_tracks, frags, pwm, fasta, None
+        )
+        return [n.bed_row() for n in nfrs]
+
+    # two-pass, occ surface = written bedgraphs (as run_pipeline now does)
+    two = str(tmp_path / "two")
+    occ_res = OccStage(cfg, engine).run(
+        frags, chunks, mix, fs, two, keep_tracks=True
+    )
+    nuc_res = NucStage(cfg, engine, pwm, fasta).run(
+        frags, chunks, occ_lookup_from_tracks(occ_res), two
+    )
+    lazy_two = _LazyOccTracks(OccTrackReader(two), chunks)
+    rows_two = nfr_rows(two, lazy_two, nuc_res, occ_res)
+
+    # fused, occ surface = written bedgraphs (evicted in-memory tracks)
+    one = str(tmp_path / "one")
+    occ_f, nuc_f = run_fused(
+        cfg, engine, OccStage(cfg, engine), NucStage(cfg, engine, pwm, fasta),
+        frags, chunks, mix, fs, one, keep_tracks=False,
+    )
+    lazy_one = _LazyOccTracks(OccTrackReader(one), chunks)
+    rows_one = nfr_rows(one, lazy_one, nuc_f, occ_f)
+
+    assert rows_one == rows_two
+    assert rows_one  # non-vacuous: at least one NFR called
