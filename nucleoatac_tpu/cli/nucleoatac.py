@@ -52,6 +52,12 @@ def _tune(p: argparse.ArgumentParser) -> None:
         help="windows per device batch (bigger amortizes transfer RTT)",
     )
     p.add_argument(
+        "--conv", default=WindowParams.conv,
+        choices=["diag", "diag_pallas", "direct"],
+        help="nuc conv-stack implementation (diag_pallas: fused Pallas "
+             "kernel, 1.56x faster on-chip; PARITY.md)",
+    )
+    p.add_argument(
         "--transfer", default=WindowParams.transfer,
         choices=["delta12", "delta", "packed", "frags", "dense"],
         help="host->device wire format (DESIGN.md §10)",
@@ -77,6 +83,7 @@ def build_config(args: argparse.Namespace) -> RunConfig:
         ingest=dataclasses.replace(cfg.ingest, atac=not getattr(args, "not_atac", False)),
         window=dataclasses.replace(
             cfg.window,
+            conv=getattr(args, "conv", cfg.window.conv),
             batch=getattr(args, "batch", cfg.window.batch),
             transfer=transfer,
         ),

@@ -131,6 +131,11 @@ class WindowParams:
     # harmless on local backends (fetches are sub-ms there). 0 = serial
     # async-copy pipelining only.
     fetch_threads: int = 8
+    # conv-stack implementation for the nuc template xcorr: "diag" (XLA
+    # diag-GEMM, default), "diag_pallas" (fused Pallas kernel — measured
+    # 1.56x faster and ~100x closer to f64 on-chip, ops/pallas_diag.py;
+    # interpret-mode on non-TPU backends), "direct" (two XLA convs)
+    conv: str = "diag"
 
     def halo(self, occ: OccParams, vmat: VMatParams) -> int:
         """Context needed on each side of a window core so every per-core

@@ -196,7 +196,7 @@ def run_distributed(
     shard_prefix = f"{out_prefix}.part{pid}"
     from nucleoatac_tpu.models.pipeline import auto_mesh
 
-    engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm, mesh=auto_mesh(cfg))
+    engine = DeviceEngine(cfg, mix, fs, vmat, pwm=pwm, mesh=auto_mesh(cfg), conv_mode=cfg.window.conv)
     occ_res = OccStage(cfg, engine).run(
         frags, local_chunks, mix, fs, shard_prefix, keep_tracks=True
     )

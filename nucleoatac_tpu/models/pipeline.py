@@ -150,7 +150,7 @@ def run_pipeline(
                 fs, mix, occ_res = _load_occ_stage(out_prefix, cfg, chunks)
                 engine = DeviceEngine(
                     cfg, mix, fs, vmat, pwm=None if bias_source else pwm,
-                    mesh=auto_mesh(cfg),
+                    mesh=auto_mesh(cfg), conv_mode=cfg.window.conv,
                 )
             with stage_timer("nuc"):
                 nuc_stage = NucStage(cfg, engine, pwm, fasta, bias_source=bias_source)
@@ -168,7 +168,7 @@ def run_pipeline(
                     plotting.plot_occ_fit(mix, f"{out_prefix}.occ_fit.eps")
                 engine = DeviceEngine(
                     cfg, mix, fs, vmat, pwm=None if bias_source else pwm,
-                    mesh=auto_mesh(cfg),
+                    mesh=auto_mesh(cfg), conv_mode=cfg.window.conv,
                 )
             occ_stage = OccStage(cfg, engine)
             nuc_stage = NucStage(cfg, engine, pwm, fasta, bias_source=bias_source)

@@ -112,7 +112,7 @@ def run_occ(args) -> None:
         plotting.plot_occ_fit(mix, f"{args.out}.occ_fit.eps")
     from nucleoatac_tpu.models.pipeline import auto_mesh
 
-    engine = DeviceEngine(cfg, mix, fs, mesh=auto_mesh(cfg))
+    engine = DeviceEngine(cfg, mix, fs, mesh=auto_mesh(cfg), conv_mode=cfg.window.conv)
     OccStage(cfg, engine).run(frags, chunks, mix, fs, args.out, keep_tracks=False)
 
 
@@ -137,7 +137,7 @@ def run_nuc(args) -> None:
         bias_source = BiasTrackSource(bias_track)
     engine = DeviceEngine(
         cfg, mix, fs, vmat, pwm=None if bias_source else pwm,
-        mesh=auto_mesh(cfg),
+        mesh=auto_mesh(cfg), conv_mode=cfg.window.conv,
     )
     occ_reader = OccTrackReader(prefix)
     res = NucStage(cfg, engine, pwm, fasta, bias_source=bias_source).run(
