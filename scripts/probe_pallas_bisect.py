@@ -7,7 +7,27 @@ kernels at the same shapes isolate the faulty op:
   A. dot+rowsum only (no rolls): out[c,j] = sum_r H[cK+r, j]
   B. uniform roll only: roll([K, W] input by 1390 lanes)
   C. butterfly skew only (uniform rolls + iota mask selects), no dot
+  D. dot with the contraction dim zero-padded to 256 in-kernel
+  E. dot + all-row sum (no sublane-misaligned slicing)
+  F. dot + 8-aligned block slices (Kp=152 zero-padded kernel rows)
+  G. M=128 dot alone
+  H. full H via three chunked M<=128 dots
+  I. full dot at precision=HIGHEST
 Each compares against numpy on host. Run ALONE on the tunnel.
+
+Measured 2026-08-20 (axon TPU v5e, S=146, W=1536, C=2, K=147):
+  A 4.33e-01  B 0.00e+00  C 0.00e+00  D 4.33e-01  E 7.08e-01
+  F 4.33e-01  G 6.59e-02  H 4.33e-01  I 5.34e-05
+Verdict: rolls (uniform + butterfly) are EXACT; the dot is wrong at
+every M/padding/alignment variant until precision is explicit —
+in-Pallas jnp.dot DEFAULTS to single-pass bf16 on the MXU (G's 6.6e-2
+is bf16-epsilon-scale error amplified by row-sum cancellation in A/E/
+F/H). Fix: precision=HIGHEST (or HIGH) on every in-kernel dot —
+applied in ops/pallas_diag.py. Separately, the STRIDED roll form
+(tpu.dynamic_rotate with stride) first refused to compile (max shift in
+a vreg > 128) and then computed wrong values at [147, 1536] while
+interpret mode agreed with numpy — the butterfly of uniform rotates is
+the reliable skew.
 """
 from __future__ import annotations
 
