@@ -83,9 +83,9 @@ class NucParams:
     # f64-exact finishing (models/nuc_exact.py, DESIGN.md §12): printed
     # per-dyad stats and the candidate mask are recomputed in float64 on
     # host; selection decisions whose f32 score margins fall below
-    # exact_tol trigger a full-f64 chunk recompute. exact_tol bounds
-    # |f32 device track - f64 mirror track| (measured ~2e-4 at HIGH
-    # matmul precision; 10x safety margin).
+    # 2*exact_tol are settled individually on f64 point values
+    # (SmoothResolver). exact_tol bounds |f32 device track - f64 mirror
+    # track| (measured ~2e-4 at HIGH matmul precision; 10x safety margin).
     exact: bool = True
     exact_tol: float = 2e-3
     # strict: additionally refinish the smoothed-score column of every

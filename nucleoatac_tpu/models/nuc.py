@@ -61,9 +61,15 @@ class NucStageResult:
     redundant: List[NucCall] = field(default_factory=list)
     nuc_dist: np.ndarray = field(default_factory=lambda: np.zeros(1001, np.int64))
     tracks: Dict[int, Dict[str, np.ndarray]] = field(default_factory=dict)
-    # chunks whose f32 selection margins fell below exact_tol and were
-    # recomputed fully in float64 (models/nuc.py :: _select_fallback)
+    # chunks where a tile's f64 point-resolution workload grew past the
+    # bulk threshold and the whole tile's norm track was recomputed in f64
+    # (SmoothResolver bulk path — the cost-bounded descendant of the old
+    # full-chunk fallback; expected ~0 on representative data,
+    # tests/test_exact_nuc.py::test_fast_path_engages)
     n_fallback_chunks: int = 0
+    # chunks with at least one sub-margin selection decision settled by
+    # f64 point values (cheap; informational)
+    n_resolved_chunks: int = 0
 
 
 def chunk_seq_codes(
@@ -493,20 +499,38 @@ class NucStage:
         )
 
     def _select_exact(self, cid, chunk, tracks, occ_lookup, res):
+        """Exact-mode selection: every decision either certified by an f32
+        margin or resolved with f64 POINT values (SmoothResolver) — never a
+        full-chunk f64 recompute (round-3 VERDICT item 1: the chunk-global
+        tie guard fired on 82% of chunks and dominated end-to-end wall).
+
+        Decision inventory and how each is made f64-exact:
+        1. local-maximum status of each plausible position: certified when
+           the f32 margin clears 2*tol (pairwise-comparison error bound),
+           else each uncertain comparison is settled on f64 smooth values;
+        2. candidate thresholds (norm >= min_z, lr >= min_lr): always
+           evaluated on f64 stats (_refinish_at);
+        3. greedy selection order: candidate score ranks certified by f32
+           gaps > 2*tol; near-tie clusters re-ranked on f64 smooth values
+           (exact f64 ties break leftmost, same as the f64 mirror).
+        """
         cfg = self.cfg
         p = cfg.nuc
         eng = self.engine
-        refin = self.refinisher
         tiles = self._tiles_by_cid.get(cid, [])
         norm32 = tracks["norm"]
         smooth32 = tracks["norm_smooth"]
-        # exact_tol bounds |device f32 - f64|; the wire-v5 u16 norm adds
-        # at most this chunk's max quantization scale on top (engine
-        # ._u16_impl: |decode - f32| <= scale/2, qstep = scale is 2x
-        # conservative). Widening tol only ever ADDS f64 fallbacks.
+        # exact_tol bounds |device f32 - f64| per track value; the wire-v5
+        # u16 norm adds at most this chunk's max quantization scale on top
+        # (engine._u16_impl: |decode - f32| <= scale/2, qstep = scale is 2x
+        # conservative). eps2 = 2*tol bounds the error of any COMPARISON
+        # between two track values. Widening tol only ever ADDS f64
+        # resolutions.
         tol = p.exact_tol + self._qstep_by_cid.pop(cid, 0.0)
+        eps2 = 2.0 * tol
         bias64 = None  # built lazily
         W = eng.width
+        L = len(smooth32)
 
         def bias_row(t):
             nonlocal bias64
@@ -515,37 +539,87 @@ class NucStage:
             a = t.win_start - (chunk.start - eng.halo)
             return bias64[a : a + W]
 
-        # 1. local maxima of the f32 smoothed track (mask applied after —
-        #    identical to mask-first for this candidate semantics)
+        from nucleoatac_tpu.models.nuc_exact import SmoothResolver
+        from nucleoatac_tpu.utils.numerics import local_max_margin_fast
+
+        resolver = SmoothResolver(
+            self.refinisher, self._frags, chunk, tiles, bias_row
+        )
         hw = p.nuc_sep // 2
-        lm = local_max_candidates_fast(smooth32, hw)
-        lm_idx = np.flatnonzero(lm)
+
+        # 1. local maxima. margin > eps2 -> f64 local max for sure;
+        #    margin < -eps2 -> not one; in between AND plausible (f64 norm
+        #    could clear min_z) -> resolve the specific comparisons in f64.
+        #    Implausible positions can never become candidates (the mask in
+        #    step 2 is f64), so their local-max status is irrelevant.
+        margin = local_max_margin_fast(smooth32, hw)
+        plausible = norm32 >= p.min_z - tol
+        lm_mask = plausible & (margin > eps2)
+        amb_idx = np.flatnonzero(plausible & (np.abs(margin) <= eps2))
+        resolved_any = len(amb_idx) > 0
+        if len(amb_idx):
+            # competitors whose f32 comparison against i is uncertain
+            comps = []
+            for i in amb_idx:
+                a, b = max(0, i - hw), min(L, i + hw + 1)
+                js = np.flatnonzero(smooth32[a:b] >= smooth32[i] - eps2) + a
+                comps.append(js[js != i])
+            resolver.ensure(np.concatenate([amb_idx, *comps]))
+            for i, js in zip(amb_idx, comps):
+                si = resolver.at(i)
+                # mirror.local_max_candidates semantics: strict > left,
+                # >= right (leftmost-of-plateau); certain comparisons
+                # (smooth32[j] < smooth32[i] - eps2) hold in f64 a fortiori
+                if all(
+                    si > resolver.at(j) if j < i else si >= resolver.at(j)
+                    for j in js
+                ):
+                    lm_mask[i] = True
+        lm_idx = np.flatnonzero(lm_mask)
 
         # 2. float64 stats at every local max -> exact candidate mask
         st = self._refinish_at(chunk, tiles, bias_row, lm_idx)
         mask64 = (st["norm"] >= p.min_z) & (st["lr"] >= p.min_lr)
         cand_idx = lm_idx[mask64]
-        cand = np.zeros(len(smooth32), bool)
-        cand[cand_idx] = True
 
-        # 3. certify the f32 selection decisions by margin; any sub-margin
-        #    decision -> full float64 recompute of the chunk
-        ambiguous = self._tie_guard(norm32, smooth32, cand_idx, hw, tol)
-        if ambiguous:
-            res.n_fallback_chunks += 1
-            return self._select_fallback(cid, chunk, tiles, occ_lookup, bias_row)
+        # 3. greedy selection on a certified score ORDER: gaps > eps2 are
+        #    f64-safe in f32; near-tie clusters get their true f64 scores
+        #    substituted (|f64 - f32| <= tol < any cross-cluster gap, so
+        #    the substitution cannot reorder across clusters).
+        scores = smooth32[cand_idx].astype(np.float64)
+        if len(cand_idx) >= 2:
+            order0 = np.argsort(-scores, kind="stable")
+            ss = scores[order0]
+            tie_runs = np.flatnonzero(-np.diff(ss) <= eps2)
+            if len(tie_runs):
+                resolved_any = True
+                members = np.unique(
+                    np.concatenate([order0[tie_runs], order0[tie_runs + 1]])
+                )
+                resolver.ensure(cand_idx[members])
+                for j in members:
+                    scores[j] = resolver.at(int(cand_idx[j]))
+        order = np.lexsort((cand_idx, -scores))
+        taken = np.zeros(L, bool)
+        kept: List[int] = []
+        for pos in cand_idx[order]:
+            if taken[pos]:
+                continue
+            kept.append(int(pos))
+            taken[max(0, pos - p.nuc_sep + 1) : pos + p.nuc_sep] = True
+        sel = sorted(kept)
+        sel_set = set(sel)
+        res.n_resolved_chunks += resolved_any
+        res.n_fallback_chunks += resolver.n_bulk_tiles > 0
 
-        sel = greedy_select_fast(smooth32, cand, p.nuc_sep)
-        sel_set = {int(i) for i in sel}
         # printed rows: stats are f64; the smoothed-score column is f64 in
-        # strict mode, else the (certified-selection) f32 device value
+        # strict mode (via the resolver — same values the old want_smooth
+        # refinish produced), else the f32 device value uniformly
+        st_rows = {k: st[k][mask64] for k in st}
         if p.strict:
-            st_rows = self._refinish_at(
-                chunk, tiles, bias_row, cand_idx, want_smooth=True
-            )
-            smooth_col = st_rows["smooth"]
+            resolver.ensure(cand_idx)
+            smooth_col = np.array([resolver.at(int(i)) for i in cand_idx])
         else:
-            st_rows = {k: st[k][mask64] for k in st}
             smooth_col = smooth32[cand_idx]
 
         def mk(j: int) -> NucCall:
@@ -555,68 +629,6 @@ class NucStage:
                 chunk.chrom, chunk.start + i, float(st_rows["norm"][j]),
                 occ, lo, up, float(st_rows["lr"][j]), float(smooth_col[j]),
                 float(st_rows["signal"][j]), float(st_rows["fuzz"][j]),
-            )
-
-        red = [mk(j) for j in range(len(cand_idx))]
-        calls = [red[j] for j in range(len(cand_idx)) if int(cand_idx[j]) in sel_set]
-        return calls, red, sel
-
-    def _tie_guard(self, norm32, smooth32, cand_idx, hw, tol) -> bool:
-        """True if any f32 selection decision sits within ``tol`` of
-        flipping (near-tie) — local-max margins of plausible candidates,
-        or greedy score gaps between actual candidates."""
-        from nucleoatac_tpu.utils.numerics import local_max_margin_fast
-
-        p = self.cfg.nuc
-        margin = local_max_margin_fast(smooth32, hw)
-        plausible = norm32 >= p.min_z - tol
-        if np.any(plausible & (np.abs(margin) < tol)):
-            return True
-        if len(cand_idx) >= 2:
-            sc = np.sort(smooth32[cand_idx])
-            if np.any(np.diff(sc) < tol):
-                return True
-        return False
-
-    def _select_fallback(self, cid, chunk, tiles, occ_lookup, bias_row):
-        """Full float64 recompute of the chunk's norm/smooth tracks and
-        selection (rare: only when an f32 margin fell below exact_tol)."""
-        cfg = self.cfg
-        p = cfg.nuc
-        eng = self.engine
-        refin = self.refinisher
-        W = eng.width
-        L = len(chunk)
-        norm64 = np.zeros(L)
-        smooth64 = np.zeros(L)
-        for t in tiles:
-            m, s = self._frags.window(chunk.chrom, t.win_start, t.win_start + W)
-            tn, ts = refin.full_tracks(m - t.win_start, s, bias_row(t))
-            off = t.core_start - chunk.start
-            n_core = t.core_end - t.core_start
-            c0 = t.core_start - t.win_start
-            norm64[off : off + n_core] = tn[c0 : c0 + n_core]
-            smooth64[off : off + n_core] = ts[c0 : c0 + n_core]
-        hw = p.nuc_sep // 2
-        lm = local_max_candidates_fast(smooth64, hw)
-        lm_idx = np.flatnonzero(lm)
-        # f64 stats at maxima (lr etc. still need the refinisher)
-        st = self._refinish_at(chunk, tiles, bias_row, lm_idx)
-        mask64 = (norm64[lm_idx] >= p.min_z) & (st["lr"] >= p.min_lr)
-        cand_idx = lm_idx[mask64]
-        cand = np.zeros(L, bool)
-        cand[cand_idx] = True
-        sel = greedy_select_fast(smooth64, cand, p.nuc_sep)
-        sel_set = {int(i) for i in sel}
-        stf = {k: st[k][mask64] for k in st}
-
-        def mk(j: int) -> NucCall:
-            i = int(cand_idx[j])
-            occ, lo, up = occ_lookup(cid, chunk, chunk.start + i)
-            return NucCall(
-                chunk.chrom, chunk.start + i, float(norm64[i]), occ, lo, up,
-                float(stf["lr"][j]), float(smooth64[i]),
-                float(stf["signal"][j]), float(stf["fuzz"][j]),
             )
 
         red = [mk(j) for j in range(len(cand_idx))]

@@ -211,13 +211,11 @@ def test_cpp_refinisher_equals_numpy(tmp_path):
     np.testing.assert_allclose(tsa, tsb, rtol=1e-9, atol=1e-9)
 
 
-def test_near_tie_falls_back_to_f64(tmp_path):
-    """Two identical fragment clusters closer than nuc_sep produce exactly
-    tied scores; the tie guard must trigger the full-f64 fallback and the
-    selection must match the mirror's (leftmost tie-break)."""
+def _tie_dataset(d):
+    """Two identical fragment clusters closer than nuc_sep -> exactly tied
+    f64 scores conflicting in greedy selection."""
     from nucleoatac_tpu.io.bam_writer import write_bam
 
-    d = tmp_path
     frags = []
     for center in (1000, 1100):  # 100 bp apart < nuc_sep=120 -> conflict
         for k in range(60):
@@ -229,10 +227,18 @@ def test_near_tie_falls_back_to_f64(tmp_path):
     bed = str(d / "peaks.bed")
     with open(bed, "w") as fh:
         fh.write("chr1\t600\t1600\tpeak1\n")
+    return bam, bed
+
+
+def test_near_tie_resolved_per_decision(tmp_path):
+    """Exactly tied scores must be settled by the f64 point resolver (not
+    a full-chunk recompute) and the selection must match the mirror's
+    (leftmost tie-break). Round-3 VERDICT item 1."""
+    bam, bed = _tie_dataset(tmp_path)
     cfg = RunConfig(window=WindowParams(core=256, batch=4))
-    out = str(d / "out")
+    out = str(tmp_path / "out")
     res = run_pipeline(bam, bed, out, cfg=cfg, write_plots=False)
-    assert res.nuc.n_fallback_chunks > 0  # the tie guard actually fired
+    assert res.nuc.n_resolved_chunks > 0  # the tie was actually detected
     got = _read_rows(out + ".nucpos.bed.gz")
     from nucleoatac_tpu.models.standalone import OccTrackReader
 
@@ -243,6 +249,69 @@ def test_near_tie_falls_back_to_f64(tmp_path):
         cid: reader.chunk_tracks(chunk) for cid, chunk in enumerate(chunks)
     }
     want, _ = _mirror_rows(cfg, bam, bed, None, occ_tracks)
-    assert [r.split("\t")[1] for r in got] == [r.split("\t")[1] for r in want]
-    # fallback prints f64 values for every column, so rows match exactly
-    assert got == want
+    assert len(got) == len(want) > 0
+    SMOOTH_COL = 8
+    for g, w in zip(got, want):
+        gf, wf = g.split("\t"), w.split("\t")
+        assert gf[1] == wf[1]  # selected positions identical to f64 mirror
+        for j, (a, b) in enumerate(zip(gf, wf)):
+            if j == SMOOTH_COL:
+                assert abs(float(a) - float(b)) < cfg.nuc.exact_tol
+            else:
+                assert a == b, (j, g, w)
+
+
+def test_near_tie_strict_rows_equal_mirror(tmp_path):
+    """Strict mode on the engineered tie: every column of every row
+    string-identical to the f64 mirror (the resolver's f64 smooth values
+    ARE the mirror's up to print precision)."""
+    bam, bed = _tie_dataset(tmp_path)
+    cfg = RunConfig(
+        window=WindowParams(core=256, batch=4), nuc=NucParams(strict=True)
+    )
+    out = str(tmp_path / "out")
+    run_pipeline(bam, bed, out, cfg=cfg, write_plots=False)
+    got = _read_rows(out + ".nucpos.bed.gz")
+    from nucleoatac_tpu.models.standalone import OccTrackReader
+
+    fr = scan_bam(bam)
+    chunks = ChunkList.read(bed, fr.chrom_dict).merge()
+    reader = OccTrackReader(out)
+    occ_tracks = {
+        cid: reader.chunk_tracks(chunk) for cid, chunk in enumerate(chunks)
+    }
+    want, _ = _mirror_rows(cfg, bam, bed, None, occ_tracks)
+    assert got == want and len(got) > 0
+
+
+def test_fast_path_engages(tmp_path, monkeypatch):
+    """Round-3 VERDICT item 8: on representative synthetic ATAC data the
+    certified fast path must actually engage — the bulk f64 recompute
+    (full_tracks) fires on < 5% of chunks (expected: none), pinning the
+    regression where the 'rare' fallback ran on 82% of chunks."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), os.pardir, "scripts")
+    )
+    from bench_e2e import synth_dataset
+
+    from nucleoatac_tpu.models import nuc_exact
+
+    bam, bed, fa = synth_dataset(str(tmp_path), 1, 8, 2000, 500, seed=11)
+    calls = {"full_tracks": 0}
+    orig = nuc_exact.NucRefinisher.full_tracks
+
+    def counting(self, *a, **kw):
+        calls["full_tracks"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(nuc_exact.NucRefinisher, "full_tracks", counting)
+    out = str(tmp_path / "out")
+    res = run_pipeline(bam, bed, out, fasta_path=fa, write_plots=False)
+    with open(bed) as fh:
+        n_chunks = sum(1 for _ in fh)
+    assert res.nuc.n_fallback_chunks / n_chunks < 0.05
+    assert calls["full_tracks"] == 0  # certified chunks skip it entirely
+    assert len(res.nuc.calls) >= 8  # planted nucleosome arrays were found
