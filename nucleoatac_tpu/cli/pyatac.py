@@ -16,7 +16,6 @@ from nucleoatac_tpu.core.chunk import ChunkList
 from nucleoatac_tpu.core.pwm import PWM
 from nucleoatac_tpu.core.vmat import VMat
 from nucleoatac_tpu.io.bam import scan_bam
-from nucleoatac_tpu.io.bedgraph import vals_to_intervals
 from nucleoatac_tpu.io.fasta import FastaFile
 from nucleoatac_tpu.io.tabix import TabixWriter
 
@@ -127,8 +126,7 @@ def main(argv=None) -> int:
         with TabixWriter(f"{args.out}.Scores.bedgraph.gz") as w:
             for c in chunks:
                 b = chunk_log_bias(fasta, pwm, c.chrom, c.start, c.end)
-                for a, e, v in vals_to_intervals(c.start, b):
-                    w.add(c.chrom, a, e, f"{c.chrom}\t{a}\t{e}\t{v}")
+                w.add_bedgraph(c.chrom, c.start, b)
         return 0
 
     if cmd == "signal":
@@ -208,17 +206,14 @@ def main(argv=None) -> int:
     if cmd == "ins":
         with TabixWriter(f"{args.out}.ins.bedgraph.gz") as w:
             for c in chunks:
-                track = P.insertion_track(frags, c)
-                for a, e, v in vals_to_intervals(c.start, track):
-                    w.add(c.chrom, a, e, f"{c.chrom}\t{a}\t{e}\t{v}")
+                w.add_bedgraph(c.chrom, c.start, P.insertion_track(frags, c))
         return 0
 
     if cmd == "cov":
         with TabixWriter(f"{args.out}.cov.bedgraph.gz") as w:
             for c in chunks:
                 track = P.coverage_track(frags, c, args.window, args.lower, args.upper)
-                for a, e, v in vals_to_intervals(c.start, track):
-                    w.add(c.chrom, a, e, f"{c.chrom}\t{a}\t{e}\t{v}")
+                w.add_bedgraph(c.chrom, c.start, track)
         return 0
 
     if cmd == "sizes":

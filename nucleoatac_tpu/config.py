@@ -56,7 +56,15 @@ class OccParams:
     # from the raw fragment lists, making occ/lower/upper outputs equal
     # to the f64 mirror's grid selections
     exact: bool = True
-    exact_tol: float = 0.05  # conservative bound on |LL_f32 - LL_f64|
+    # bound on |LL_f32 device - LL_f64|: measured max 1.7e-4 on synth ATAC
+    # (HIGH-precision einsum + reduce_window; round-4 probe), 12x margin.
+    # The old 0.05 default certified only ~3% of positions (the CI
+    # boundary's distance to the nearest grid LL is uniform in the local
+    # grid step ~0.01-0.1), flooding the host refinisher; 2e-3 certifies
+    # ~67% with the same f64-equality guarantee. The LL is CONCAVE in
+    # alpha, so min_g |ll_g - thr| is always attained boundary-adjacent —
+    # scoping the min to the CI boundary (measured) changes nothing.
+    exact_tol: float = 2e-3
 
 
 @dataclass(frozen=True)

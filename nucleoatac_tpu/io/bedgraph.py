@@ -20,23 +20,47 @@ def format_value(v: float, decimals: int = 5) -> str:
     return s
 
 
-def vals_to_intervals(
+def vals_to_run_arrays(
     start: int, vals: np.ndarray, decimals: int = 5
-) -> Iterator[Tuple[int, int, str]]:
-    """Yield (ivl_start, ivl_end, formatted_value) run-length intervals for
-    a dense per-bp vector beginning at genomic position ``start``.
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run-length intervals of a dense per-bp vector as arrays:
+    (starts, ends, rounded_run_values) — no string formatting.
 
-    Runs are detected on values rounded to ``decimals`` (numpy, C speed —
-    a python-level per-bp loop dominated genome-scale runs); each run is
-    then formatted once. Rounding equality == printed-string equality for
-    %.5f-trimmed output (negative zero normalized)."""
+    Runs are detected on values rounded to ``decimals`` (numpy, C speed).
+    Rounding equality == printed-string equality for %.5f-trimmed output
+    (negative zero normalized)."""
     n = len(vals)
     if n == 0:
-        return
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.float64)
     r = np.round(np.asarray(vals, dtype=np.float64), decimals)
     r[r == 0.0] = 0.0  # normalize -0.0
     boundaries = np.flatnonzero(r[1:] != r[:-1]) + 1
     starts = np.concatenate([[0], boundaries])
     ends = np.concatenate([boundaries, [n]])
-    for a, b in zip(starts, ends):
-        yield (start + int(a), start + int(b), format_value(float(r[a]), decimals))
+    return start + starts, start + ends, r[starts]
+
+
+def vals_to_interval_arrays(
+    start: int, vals: np.ndarray, decimals: int = 5
+) -> Tuple[np.ndarray, np.ndarray, list]:
+    """Like vals_to_run_arrays, but with each run value formatted
+    (each DISTINCT value once — occupancy tracks live on a 101-point
+    grid, so formatting cost there is ~constant)."""
+    starts, ends, rv = vals_to_run_arrays(start, vals, decimals)
+    if len(rv) == 0:
+        return starts, ends, []
+    uniq, inv = np.unique(rv, return_inverse=True)
+    fmt = [format_value(float(u), decimals) for u in uniq]
+    labels = [fmt[i] for i in inv]
+    return starts, ends, labels
+
+
+def vals_to_intervals(
+    start: int, vals: np.ndarray, decimals: int = 5
+) -> Iterator[Tuple[int, int, str]]:
+    """Yield (ivl_start, ivl_end, formatted_value) run-length intervals for
+    a dense per-bp vector beginning at genomic position ``start``."""
+    starts, ends, labels = vals_to_interval_arrays(start, vals, decimals)
+    for a, b, v in zip(starts.tolist(), ends.tolist(), labels):
+        yield (a, b, v)

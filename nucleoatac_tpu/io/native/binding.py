@@ -52,6 +52,44 @@ try:
 except AttributeError:
     HAS_ENCODE_DELTA12 = False
 
+try:
+    _lib.nucio_format_bedgraph.restype = ctypes.c_long
+    _lib.nucio_format_bedgraph.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_long, ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    HAS_FORMAT_BEDGRAPH = True
+except AttributeError:
+    HAS_FORMAT_BEDGRAPH = False
+
+
+def format_bedgraph_native(
+    chrom: str, starts: np.ndarray, ends: np.ndarray, vals: np.ndarray,
+    decimals: int = 5,
+) -> Tuple[bytes, np.ndarray]:
+    """C++ bedgraph line blob (nucio.cpp :: nucio_format_bedgraph):
+    returns (lines_blob_with_newlines, line_start_offsets[n+1])."""
+    n = len(starts)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    vals = np.ascontiguousarray(vals, np.float64)
+    cap = n * (len(chrom) + 70) + 64
+    buf = ctypes.create_string_buffer(cap)
+    offsets = np.empty(n + 1, np.int64)
+    w = _lib.nucio_format_bedgraph(
+        chrom.encode(),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n, decimals, buf, cap,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if w < 0:
+        raise ValueError("nucio_format_bedgraph: buffer overflow")
+    return buf.raw[:w], offsets
+
 
 def encode_delta12_native(
     mids: np.ndarray, sizes: np.ndarray, counts: np.ndarray, out: np.ndarray
@@ -60,6 +98,12 @@ def encode_delta12_native(
 
     out: ZEROED [B, E//2 + E] uint8 (E even record capacity)."""
     B, F = mids.shape
+    # E is derived from the row width; reject a buffer whose width is not
+    # exactly 3E/2 before it silently misaligns the size plane (ADVICE r3)
+    if out.shape[1] % 3 != 0 or (2 * out.shape[1] // 3) % 2 != 0:
+        raise ValueError(
+            f"delta12 out width {out.shape[1]} is not 3*E/2 for even E"
+        )
     E = 2 * out.shape[1] // 3
     rc = _lib.nucio_encode_delta12(
         mids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -344,4 +344,46 @@ int nucio_encode_delta12(const int32_t* mids, const int32_t* sizes,
   return 0;
 }
 
+// Bedgraph line formatter (round-4 writer batching): emits
+// "<chrom>\t<start>\t<end>\t<value>\n" per interval into `out` and the
+// byte offset of each line start into `offsets` (n+1 entries, the last
+// one == total bytes). Value formatting replicates
+// io/bedgraph.py::format_value exactly: %.<decimals>f, trailing zeros
+// after the decimal point stripped, then a trailing '.', and -0 -> 0
+// (glibc printf and CPython format both produce the correctly-rounded
+// decimal expansion, so the digit strings agree; pinned by
+// tests/test_io.py). Returns total bytes, or -1 if `cap` is too small.
+long nucio_format_bedgraph(const char* chrom, const int64_t* starts,
+                           const int64_t* ends, const double* vals, long n,
+                           int decimals, char* out, long cap,
+                           int64_t* offsets) {
+  const long chrom_len = static_cast<long>(strlen(chrom));
+  long w = 0;
+  for (long i = 0; i < n; ++i) {
+    offsets[i] = w;
+    if (w + chrom_len + 96 > cap) return -1;
+    memcpy(out + w, chrom, chrom_len);
+    w += chrom_len;
+    out[w++] = '\t';
+    w += snprintf(out + w, 32, "%lld", static_cast<long long>(starts[i]));
+    out[w++] = '\t';
+    w += snprintf(out + w, 32, "%lld", static_cast<long long>(ends[i]));
+    out[w++] = '\t';
+    long vw = snprintf(out + w, 40, "%.*f", decimals, vals[i]);
+    // strip trailing zeros after the '.', then a bare trailing '.'
+    if (memchr(out + w, '.', vw) != nullptr) {
+      while (vw > 0 && out[w + vw - 1] == '0') --vw;
+      if (vw > 0 && out[w + vw - 1] == '.') --vw;
+    }
+    if (vw == 2 && out[w] == '-' && out[w + 1] == '0') {
+      out[w] = '0';
+      vw = 1;
+    }
+    w += vw;
+    out[w++] = '\n';
+  }
+  offsets[n] = w;
+  return w;
+}
+
 }  // extern "C"

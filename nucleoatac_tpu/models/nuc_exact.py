@@ -64,6 +64,25 @@ def _load_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_double, dp,
     ]
+    lib.nucrefine_build.restype = ctypes.c_int
+    lib.nucrefine_build.argtypes = [
+        ip, ip, ctypes.c_long, dp, dp,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, dp, dp,
+    ]
+    lib.nucrefine_stats_pre.restype = ctypes.c_int
+    lib.nucrefine_stats_pre.argtypes = [
+        dp, dp, dp, dp, dp,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        lp, ctypes.c_long, ctypes.c_int, dp, ctypes.c_int, dp,
+    ]
+    lib.nucrefine_norm_track_pre.restype = ctypes.c_int
+    lib.nucrefine_norm_track_pre.argtypes = [
+        dp, dp, dp, dp, dp,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, dp,
+    ]
     return lib
 
 
@@ -223,6 +242,9 @@ class NucRefinisher:
 
     def _stats_numpy(self, mids, sizes, log_bias, cols, want_smooth):
         F, b0 = self._window_arrays(mids, sizes, log_bias)
+        return self._stats_numpy_pre(F, b0, cols, want_smooth)
+
+    def _stats_numpy_pre(self, F, b0, cols, want_smooth):
         out = np.zeros((len(cols), 6), dtype=np.float64)
         hw = len(self.gk) // 2
         for i, c in enumerate(cols):
@@ -243,6 +265,73 @@ class NucRefinisher:
         F, b0 = self._window_arrays(mids, sizes, log_bias)
         return mirror.nuc_scores(
             F, b0, self.V, self.cfg.nuc.v_floor, self.cfg.nuc.var_floor
+        ).norm
+
+
+class TileSession:
+    """Prebuilt F/B0 matrices for one tile, shared across all the f64
+    queries a chunk's finishing makes (stats at maxima, resolver columns,
+    strict smooth, bulk track). Rebuilding F/B0 per ctypes call was ~60%
+    of the round-4 resolution cost."""
+
+    def __init__(self, refin: "NucRefinisher", mids, sizes, log_bias):
+        self.refin = refin
+        mids = np.ascontiguousarray(mids, dtype=np.int32)
+        sizes = np.ascontiguousarray(sizes, dtype=np.int32)
+        log_bias = np.ascontiguousarray(log_bias, dtype=np.float64)
+        if refin.lib is not None:
+            self.F = np.empty((refin.Sv, refin.width), dtype=np.float64)
+            self.B0 = np.empty((refin.Sv, refin.width), dtype=np.float64)
+            rc = refin.lib.nucrefine_build(
+                mids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(mids), _dp(log_bias), _dp(refin.q), refin.width,
+                refin.K, refin.Sv, refin.cfg.vmat.lower, refin.core_lo,
+                refin.core_hi, _dp(self.F), _dp(self.B0),
+            )
+            if rc != 0:
+                raise ValueError(f"nucrefine_build failed rc={rc}")
+        else:
+            self.F, self.B0 = refin._window_arrays(mids, sizes, log_bias)
+
+    def stats_at(self, cols: np.ndarray, want_smooth: bool = False):
+        r = self.refin
+        cols = np.ascontiguousarray(cols, dtype=np.int64)
+        if r.lib is not None:
+            out = np.empty((len(cols), 6), dtype=np.float64)
+            rc = r.lib.nucrefine_stats_pre(
+                _dp(self.F), _dp(self.B0), _dp(r.q), _dp(r.V), _dp(r.logV),
+                r.width, r.K, r.Sv, r.cfg.vmat.lower, r.core_lo, r.core_hi,
+                r.cfg.nuc.var_floor,
+                cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(cols), 1 if want_smooth else 0, _dp(r.gk), len(r.gk),
+                _dp(out),
+            )
+            if rc != 0:
+                raise ValueError(f"nucrefine_stats_pre failed rc={rc}")
+        else:
+            out = r._stats_numpy_pre(self.F, self.B0, cols, want_smooth)
+        return {
+            "norm": out[:, 0], "lr": out[:, 1], "signal": out[:, 2],
+            "fuzz": out[:, 3], "n": out[:, 4], "smooth": out[:, 5],
+        }
+
+    def norm_track(self) -> np.ndarray:
+        r = self.refin
+        if r.lib is not None:
+            norm = np.empty(r.width, dtype=np.float64)
+            rc = r.lib.nucrefine_norm_track_pre(
+                _dp(self.F), _dp(self.B0), _dp(r.q), _dp(r.V), _dp(r.logV),
+                r.width, r.K, r.Sv, r.cfg.vmat.lower, r.core_lo, r.core_hi,
+                r.cfg.nuc.var_floor, _dp(norm),
+            )
+            if rc != 0:
+                raise ValueError(f"nucrefine_norm_track_pre failed rc={rc}")
+            return norm
+        from nucleoatac_tpu import mirror
+
+        return mirror.nuc_scores(
+            self.F, self.B0, r.V, r.cfg.nuc.v_floor, r.cfg.nuc.var_floor
         ).norm
 
 
@@ -269,12 +358,11 @@ class SmoothResolver:
     bounds the worst case at the old fallback's cost.
     """
 
-    def __init__(self, refin: "NucRefinisher", frags, chunk, tiles, bias_row):
+    def __init__(self, refin: "NucRefinisher", chunk, tiles, session_for):
         self.refin = refin
-        self.frags = frags
         self.chunk = chunk
         self.tiles = tiles
-        self.bias_row = bias_row  # tile -> [W] float64 log-bias
+        self.session_for = session_for  # tile_idx -> TileSession (cached)
         self.gk = refin.gk
         self.ghw = len(refin.gk) // 2
         self._core_starts = np.array([t.core_start for t in tiles])
@@ -283,12 +371,6 @@ class SmoothResolver:
         self._smooth: Dict[int, float] = {}  # chunk-rel pos -> smooth64
         self.n_bulk_tiles = 0
         self.n_point_cols = 0
-
-    def _tile_frags(self, t):
-        m, s = self.frags.window(
-            self.chunk.chrom, t.win_start, t.win_start + self.refin.width
-        )
-        return m - t.win_start, s
 
     def ensure(self, positions) -> None:
         """Batch-compute smooth64 at the given chunk-relative positions."""
@@ -313,15 +395,12 @@ class SmoothResolver:
                 if len(have) + len(missing) > n_full // 3:
                     # bulk: the whole tile's f64 norm track (same fresh-sums
                     # kernel per column as stats_at)
-                    m, s = self._tile_frags(t)
-                    full, _ = self.refin.full_tracks(m, s, self.bias_row(t))
+                    full = self.session_for(int(t_idx)).norm_track()
                     self._full[int(t_idx)] = full
                     self.n_bulk_tiles += 1
                 elif missing:
-                    m, s = self._tile_frags(t)
-                    st = self.refin.stats_at(
-                        m, s, self.bias_row(t),
-                        np.asarray(missing, np.int64),
+                    st = self.session_for(int(t_idx)).stats_at(
+                        np.asarray(missing, np.int64)
                     )
                     for c, v in zip(missing, st["norm"]):
                         have[c] = float(v)

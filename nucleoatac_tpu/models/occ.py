@@ -17,7 +17,6 @@ from nucleoatac_tpu.core.chunk import Chunk, ChunkList
 from nucleoatac_tpu.core.fragmentsizes import FragmentSizes
 from nucleoatac_tpu.core.mixture import FragmentMixDistribution
 from nucleoatac_tpu.io.bam import BamFragments
-from nucleoatac_tpu.io.bedgraph import vals_to_intervals
 from nucleoatac_tpu.io.tabix import TabixWriter
 from nucleoatac_tpu.models.data import (
     make_batches,
@@ -345,9 +344,7 @@ class OccStage:
         ]
         if writers:
             for name, arr in (("occ", occ), ("lower", lo), ("upper", up)):
-                w = writers[name]
-                for a, b, v in vals_to_intervals(chunk.start, arr):
-                    w.add(chunk.chrom, a, b, f"{chunk.chrom}\t{a}\t{b}\t{v}")
+                writers[name].add_bedgraph(chunk.chrom, chunk.start, arr)
             flank = cfg.occ.flank
             for p in peaks:
                 s = max(0, p.pos - flank)

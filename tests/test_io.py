@@ -171,3 +171,103 @@ def test_unindexed_tabix_reader_warns(tmp_path, caplog):
     with caplog.at_level(logging.WARNING, logger="nucleoatac"):
         TabixReader(path)
     assert any("no .tbi index" in r.getMessage() for r in caplog.records)
+
+
+def test_add_many_byte_identical_to_add(tmp_path):
+    """Bulk writer (round-3 VERDICT item 2): add_many / add_bedgraph must
+    produce byte-identical .gz AND .tbi vs the per-record add loop, across
+    bin boundaries, 16kb linear-window crossings, multi-chrom files, and
+    long intervals spanning several windows."""
+    import numpy as np
+
+    from nucleoatac_tpu.io.bedgraph import vals_to_intervals
+    from nucleoatac_tpu.io.tabix import TabixWriter
+
+    rng = np.random.default_rng(5)
+    # records engineered to cross 16kb windows and bins: mixed short runs,
+    # one long interval spanning 3 windows, dense clusters
+    recs = {"chr1": [], "chr2": []}
+    pos = 100
+    for _ in range(4000):
+        w = int(rng.integers(1, 400))
+        recs["chr1"].append((pos, pos + w))
+        pos += w
+    recs["chr1"].insert(500, (recs["chr1"][500][0], recs["chr1"][500][0] + 50000))
+    recs["chr1"].sort()
+    pos = 7
+    for _ in range(300):
+        w = int(rng.integers(1, 30000))
+        recs["chr2"].append((pos, pos + w))
+        pos += int(rng.integers(1, 5000))
+
+    def lines_for(chrom, items):
+        return [f"{chrom}\t{a}\t{b}\tv{a % 97}" for a, b in items]
+
+    p1, p2 = str(tmp_path / "a.bed.gz"), str(tmp_path / "b.bed.gz")
+    with TabixWriter(p1) as w:
+        for chrom in ("chr1", "chr2"):
+            for (a, b), line in zip(recs[chrom], lines_for(chrom, recs[chrom])):
+                w.add(chrom, a, b, line)
+    with TabixWriter(p2) as w:
+        for chrom in ("chr1", "chr2"):
+            s = [a for a, _ in recs[chrom]]
+            e = [b for _, b in recs[chrom]]
+            w.add_many(chrom, s, e, lines_for(chrom, recs[chrom]))
+    for suffix in ("", ".tbi"):
+        with open(p1 + suffix, "rb") as f1, open(p2 + suffix, "rb") as f2:
+            assert f1.read() == f2.read(), suffix or ".gz"
+
+    # bedgraph path: add_bedgraph == per-interval add on the same vector
+    vals = np.round(rng.standard_normal(30000), 2)
+    vals[5000:20000] = 0.25  # a run spanning a 16kb window boundary
+    p3, p4 = str(tmp_path / "c.bedgraph.gz"), str(tmp_path / "d.bedgraph.gz")
+    with TabixWriter(p3) as w:
+        for a, b, v in vals_to_intervals(1000, vals):
+            w.add("chr1", a, b, f"chr1\t{a}\t{b}\t{v}")
+    with TabixWriter(p4) as w:
+        w.add_bedgraph("chr1", 1000, vals)
+    for suffix in ("", ".tbi"):
+        with open(p3 + suffix, "rb") as f1, open(p4 + suffix, "rb") as f2:
+            assert f1.read() == f2.read(), suffix or ".gz"
+
+
+def test_native_bedgraph_formatter_matches_python():
+    """C++ line formatter (nucio_format_bedgraph) must reproduce
+    io/bedgraph.py::format_value digit-for-digit, including rounding
+    boundaries, negative zeros, trailing-zero trimming, and large
+    magnitudes."""
+    import numpy as np
+    import pytest
+
+    from nucleoatac_tpu.io.bedgraph import format_value
+    try:
+        from nucleoatac_tpu.io.native.binding import (
+            HAS_FORMAT_BEDGRAPH,
+            format_bedgraph_native,
+        )
+    except (OSError, ImportError):
+        HAS_FORMAT_BEDGRAPH = False
+    if not HAS_FORMAT_BEDGRAPH:
+        pytest.skip("libnucio.so without nucio_format_bedgraph")
+    rng = np.random.default_rng(9)
+    vals = np.concatenate([
+        np.round(
+            rng.standard_normal(2000)
+            * 10.0 ** rng.integers(-4, 6, 2000).astype(np.float64),
+            5,
+        ),
+        np.array([0.0, -0.0, 0.000005, -0.000004, 1.0, -1.0, 100.0,
+                  0.25, 123456.78901, -0.00001, 2.5e-6, 99999.999995]),
+    ])
+    vals[vals == 0.0] = 0.0
+    n = len(vals)
+    starts = np.arange(n, dtype=np.int64) * 3
+    ends = starts + 2
+    blob, offsets = format_bedgraph_native("chrT", starts, ends, vals)
+    got = blob.decode().splitlines()
+    want = [
+        f"chrT\t{a}\t{b}\t{format_value(float(v))}"
+        for a, b, v in zip(starts, ends, vals)
+    ]
+    assert got == want
+    assert offsets[-1] == len(blob)
