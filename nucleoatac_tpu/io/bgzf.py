@@ -21,11 +21,57 @@ BGZF_EOF = bytes.fromhex(
 _MAX_BLOCK = 65280  # uncompressed payload per block, like htslib
 
 
+def _deflate_block(payload: bytes) -> bytes:
+    """One complete BGZF member for ``payload`` (<= _MAX_BLOCK bytes).
+    Pure function of the payload — blocks compress independently, which
+    is what makes the writer's thread pool byte-transparent."""
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    cdata = co.compress(payload) + co.flush()
+    # BSIZE field stores (total block size - 1); total =
+    # header(12) + extra(6) + cdata + crc(4) + isize(4)
+    bsize = len(cdata) + 26 - 1
+    header = struct.pack(
+        "<BBBBIBBHBBHH",
+        0x1F, 0x8B, 0x08, 0x04,  # gzip magic, deflate, FEXTRA
+        0,  # mtime
+        0, 0xFF,  # XFL, OS=unknown
+        6,  # XLEN
+        0x42, 0x43, 2,  # 'B','C', SLEN=2
+        bsize,
+    )
+    tail = struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF, len(payload))
+    return header + cdata + tail
+
+
 class BGZFWriter:
     """Writes BGZF; ``tell_virtual()`` returns the htslib virtual offset
-    (coffset << 16 | uoffset) of the next byte to be written."""
+    (coffset << 16 | uoffset) of the next byte to be written.
 
-    def __init__(self, fileobj_or_path):
+    Deflate runs on a small shared thread pool (zlib releases the GIL;
+    htslib's bgzf_mt does the same): blocks are independent gzip members
+    compressed from content-deterministic 64 KB boundaries, so output
+    bytes are IDENTICAL to serial writing (pinned by test_io.py) while
+    the compression wall overlaps the producer. Virtual offsets only need
+    the block's compressed LENGTH, which is known when the future
+    resolves; ``tell_virtual`` callers always sit at a block boundary +
+    buffered remainder, so in-flight blocks are drained (``_sync``)
+    before an offset is reported."""
+
+    _pool = None
+
+    @classmethod
+    def _shared_pool(cls):
+        if cls._pool is None:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            cls._pool = ThreadPoolExecutor(
+                max_workers=min(4, os.cpu_count() or 1),
+                thread_name_prefix="bgzf-deflate",
+            )
+        return cls._pool
+
+    def __init__(self, fileobj_or_path, threads: bool = True):
         if isinstance(fileobj_or_path, str):
             self._fh = open(fileobj_or_path, "wb")
             self._own = True
@@ -34,44 +80,86 @@ class BGZFWriter:
             self._own = False
         self._buf = bytearray()
         self._coffset = 0  # compressed bytes written so far
+        self._block_lens = []  # compressed length of each flushed block
+        self._pending = []  # in-flight block futures, in file order
+        self._threads = threads
+
+    def _sync(self) -> None:
+        for f in self._pending:
+            block = f.result()
+            self._fh.write(block)
+            self._coffset += len(block)
+            self._block_lens.append(len(block))
+        self._pending.clear()
 
     def tell_virtual(self) -> int:
+        if self._pending:
+            self._sync()
         return (self._coffset << 16) | len(self._buf)
+
+    def tell_logical(self) -> int:
+        """(block_sequence_number << 16) | uoffset — same ordering as the
+        virtual offset but available WITHOUT waiting on in-flight deflate
+        jobs (virtual offsets need every prior block's compressed size).
+        Translate with :meth:`resolve_logical` once writing is done.
+        TabixWriter indexes on logical offsets for exactly this reason."""
+        return ((len(self._block_lens) + len(self._pending)) << 16) | len(
+            self._buf
+        )
+
+    def resolve_logical(self, logical: int) -> int:
+        """Logical offset -> virtual offset; valid after close()."""
+        if self._offsets is None:
+            raise ValueError("resolve_logical before close()")
+        return (self._offsets[logical >> 16] << 16) | (logical & 0xFFFF)
+
+    _offsets = None
 
     def write(self, data: bytes) -> None:
         self._buf += data
         while len(self._buf) >= _MAX_BLOCK:
-            self._flush_block(self._buf[:_MAX_BLOCK])
+            payload = bytes(self._buf[:_MAX_BLOCK])
             del self._buf[:_MAX_BLOCK]
-
-    def _flush_block(self, payload: bytes) -> None:
-        co = zlib.compressobj(6, zlib.DEFLATED, -15)
-        cdata = co.compress(bytes(payload)) + co.flush()
-        # BSIZE field stores (total block size - 1); total =
-        # header(12) + extra(6) + cdata + crc(4) + isize(4)
-        bsize = len(cdata) + 26 - 1
-        header = struct.pack(
-            "<BBBBIBBHBBHH",
-            0x1F, 0x8B, 0x08, 0x04,  # gzip magic, deflate, FEXTRA
-            0,  # mtime
-            0, 0xFF,  # XFL, OS=unknown
-            6,  # XLEN
-            0x42, 0x43, 2,  # 'B','C', SLEN=2
-            bsize,
-        )
-        tail = struct.pack("<II", zlib.crc32(bytes(payload)) & 0xFFFFFFFF, len(payload))
-        block = header + cdata + tail
-        self._fh.write(block)
-        self._coffset += len(block)
+            if self._threads:
+                self._pending.append(
+                    self._shared_pool().submit(_deflate_block, payload)
+                )
+                if len(self._pending) > 16:
+                    self._sync()
+            else:
+                block = _deflate_block(payload)
+                self._fh.write(block)
+                self._coffset += len(block)
+                self._block_lens.append(len(block))
 
     def close(self) -> None:
+        if self._offsets is not None:  # already closed
+            return
         if self._buf:
-            self._flush_block(bytes(self._buf))
+            if self._threads:
+                self._pending.append(
+                    self._shared_pool().submit(
+                        _deflate_block, bytes(self._buf)
+                    )
+                )
+            else:
+                block = _deflate_block(bytes(self._buf))
+                self._fh.write(block)
+                self._coffset += len(block)
+                self._block_lens.append(len(block))
             self._buf.clear()
+        self._sync()
         self._fh.write(BGZF_EOF)
         self._coffset += len(BGZF_EOF)
         if self._own:
             self._fh.close()
+        # block-seq -> compressed offset table for resolve_logical
+        # (entry n_blocks = start of the EOF marker, for end-of-file
+        # logical offsets with uoffset 0)
+        offs = [0] * (len(self._block_lens) + 1)
+        for i, ln in enumerate(self._block_lens):
+            offs[i + 1] = offs[i] + ln
+        self._offsets = offs
 
     def __enter__(self) -> "BGZFWriter":
         return self

@@ -66,12 +66,15 @@ class TabixWriter:
         return len(self._names) - 1
 
     def add(self, chrom: str, start: int, end: int, line: str) -> None:
+        # offsets recorded LOGICALLY (block seq << 16 | uoffset) and
+        # translated to virtual offsets at close() — this keeps the BGZF
+        # deflate thread pool fully decoupled (io/bgzf.py::tell_logical)
         rid = self._ref_id(chrom)
-        vbeg = self._w.tell_virtual()
+        vbeg = self._w.tell_logical()
         self._w.write(line.encode() if not line.endswith("\n") else line.encode())
         if not line.endswith("\n"):
             self._w.write(b"\n")
-        vend = self._w.tell_virtual()
+        vend = self._w.tell_logical()
         b = reg2bin(start, max(end, start + 1))
         chunks = self._bins[rid].setdefault(b, [])
         if chunks and chunks[-1][1] == vbeg:
@@ -148,9 +151,9 @@ class TabixWriter:
             lin.append(-1)
         w = self._w
         for a, b in zip(seg_starts, seg_ends):
-            vbeg = w.tell_virtual()
+            vbeg = w.tell_logical()
             w.write(emit(int(a), int(b)))
-            vend = w.tell_virtual()
+            vend = w.tell_logical()
             chunks = bin_tab.setdefault(int(bins[a]), [])
             if chunks and chunks[-1][1] == vbeg:
                 chunks[-1] = (chunks[-1][0], vend)
@@ -194,7 +197,20 @@ class TabixWriter:
             self.add_many(chrom, ivl_s, ivl_e, lines)
 
     def close(self) -> None:
+        if getattr(self, "_closed", False):
+            return
+        self._closed = True
         self._w.close()
+        # translate the logically-recorded index offsets now that every
+        # block's compressed size is known
+        res = self._w.resolve_logical
+        self._bins = [
+            {b: [(res(cb), res(ce)) for cb, ce in cl] for b, cl in bins.items()}
+            for bins in self._bins
+        ]
+        self._linear = [
+            [v if v < 0 else res(v) for v in lin] for lin in self._linear
+        ]
         with BGZFWriter(self.path + ".tbi") as out:
             names_blob = b"".join(n.encode() + b"\x00" for n in self._names)
             out.write(b"TBI\x01")
