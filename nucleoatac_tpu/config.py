@@ -139,6 +139,11 @@ class WindowParams:
     # harmless on local backends (fetches are sub-ms there). 0 = serial
     # async-copy pipelining only.
     fetch_threads: int = 8
+    # worker threads for per-chunk host finishing in the fused run path
+    # (models/fused.py: occ f64 refinish + peak calling + nuc selection +
+    # RLE/format — GIL-releasing C++/BLAS). -1 = auto (min(4, cpus));
+    # 0 = serial. Writes always stay genome-ordered on the main thread.
+    finish_threads: int = -1
     # conv-stack implementation for the nuc template xcorr: "diag" (XLA
     # diag-GEMM, default), "diag_pallas" (fused Pallas kernel — measured
     # 1.56x faster and ~100x closer to f64 on-chip, ops/pallas_diag.py;

@@ -172,29 +172,17 @@ class TabixWriter:
         """Run-length encode a dense per-bp vector (io/bedgraph.py
         semantics) and bulk-write it as bedgraph rows; line formatting in
         C++ when libnucio is built (byte-identical — tests/test_io.py)."""
-        from nucleoatac_tpu.io.bedgraph import vals_to_run_arrays
+        self.add_prepared(chrom, prepare_bedgraph(chrom, start, vals, decimals))
 
-        ivl_s, ivl_e, run_vals = vals_to_run_arrays(start, vals, decimals)
-        try:
-            from nucleoatac_tpu.io.native.binding import (
-                HAS_FORMAT_BEDGRAPH,
-                format_bedgraph_native,
-            )
-        except (OSError, ImportError):
-            HAS_FORMAT_BEDGRAPH = False
-        if HAS_FORMAT_BEDGRAPH:
-            blob, offsets = format_bedgraph_native(
-                chrom, ivl_s, ivl_e, run_vals, decimals
-            )
+    def add_prepared(self, chrom: str, payload) -> None:
+        """Write a payload from :func:`prepare_bedgraph` (the RLE +
+        formatting half is pure compute, safe to run on worker threads;
+        this indexing/writing half must stay on the writer's thread)."""
+        ivl_s, ivl_e, blob, offsets = payload
+        if blob is not None:
             self.add_many_blob(chrom, ivl_s, ivl_e, blob, offsets)
         else:
-            from nucleoatac_tpu.io.bedgraph import format_value
-
-            lines = [
-                f"{chrom}\t{a}\t{b}\t{format_value(float(v), decimals)}"
-                for a, b, v in zip(ivl_s.tolist(), ivl_e.tolist(), run_vals)
-            ]
-            self.add_many(chrom, ivl_s, ivl_e, lines)
+            self.add_many(chrom, ivl_s, ivl_e, offsets)  # offsets = lines
 
     def close(self) -> None:
         if getattr(self, "_closed", False):
@@ -255,6 +243,33 @@ class TabixWriter:
     def __exit__(self, *exc) -> None:
         self.close()
 
+
+def prepare_bedgraph(chrom: str, start: int, vals, decimals: int = 5):
+    """Pure-compute half of ``add_bedgraph``: run-length encode + format.
+    Returns (starts, ends, blob, offsets) — blob None means offsets holds
+    formatted lines (no native formatter available)."""
+    from nucleoatac_tpu.io.bedgraph import vals_to_run_arrays
+
+    ivl_s, ivl_e, run_vals = vals_to_run_arrays(start, vals, decimals)
+    try:
+        from nucleoatac_tpu.io.native.binding import (
+            HAS_FORMAT_BEDGRAPH,
+            format_bedgraph_native,
+        )
+    except (OSError, ImportError):
+        HAS_FORMAT_BEDGRAPH = False
+    if HAS_FORMAT_BEDGRAPH:
+        blob, offsets = format_bedgraph_native(
+            chrom, ivl_s, ivl_e, run_vals, decimals
+        )
+        return ivl_s, ivl_e, blob, offsets
+    from nucleoatac_tpu.io.bedgraph import format_value
+
+    lines = [
+        f"{chrom}\t{a}\t{b}\t{format_value(float(v), decimals)}"
+        for a, b, v in zip(ivl_s.tolist(), ivl_e.tolist(), run_vals)
+    ]
+    return ivl_s, ivl_e, None, lines
 
 def reg2bins(beg: int, end: int) -> List[int]:
     """All bins overlapping [beg, end) — TBI 5-level query (htslib

@@ -119,16 +119,65 @@ def run_fused(
         batches = make_delta_batches(frags, tiles, eng.width, cfg.window.batch)
     grid64 = mix.alpha_grid(cfg.occ)
 
-    def occ_lookup(cid, chunk, pos):
-        tr = occ_res.tracks.get(cid)
-        if tr is None:
+    # --- ordered-parallel chunk finishing -----------------------------
+    # The TPU rebuild of the reference's Pool-worker + ordered-writer
+    # design (SURVEY.md §3.3 rows 1-2): per-chunk finishing (occ f64
+    # refinish, peak calling, nuc f64-certified selection, RLE + line
+    # formatting) is pure compute whose hot parts release the GIL
+    # (C++ refinisher, BLAS, native formatter), so it fans out on a small
+    # thread pool while writes drain strictly in chunk (= genome) order
+    # from the completion queue. Chunks complete in cid order (tiles are
+    # deterministic), so a FIFO of futures preserves output order.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    import os as _os
+
+    n_threads = cfg.window.finish_threads
+    if n_threads < 0:
+        n_threads = min(4, _os.cpu_count() or 1)
+
+    def finish_task(cid, chunk, occ_tracks, nuc_tracks):
+        if cfg.occ.exact:
+            occ_stage._exact_refinish(chunk, occ_tracks, frags)
+        occ_peaks, occ_payloads = occ_stage.compute_chunk(
+            chunk, occ_tracks, want_payloads=bool(occ_writers)
+        )
+
+        def lookup(_cid, _chunk, pos):
+            i = pos - chunk.start
+            if 0 <= i < len(occ_tracks["occ"]):
+                return (
+                    float(occ_tracks["occ"][i]),
+                    float(occ_tracks["lower"][i]),
+                    float(occ_tracks["upper"][i]),
+                )
             return 0.0, 0.0, 1.0
-        i = pos - chunk.start
-        if i < 0 or i >= len(tr["occ"]):
-            return 0.0, 0.0, 1.0
-        return float(tr["occ"][i]), float(tr["lower"][i]), float(tr["upper"][i])
+
+        nuc_computed = nuc_stage.compute_chunk(
+            cid, chunk, nuc_tracks, lookup, want_payloads=bool(nuc_writers)
+        )
+        return occ_peaks, occ_payloads, nuc_computed
+
+    pool = ThreadPoolExecutor(n_threads) if n_threads > 0 else None
+    fut_q: deque = deque()  # (cid, chunk, occ_tracks, nuc_tracks, future)
+
+    def drain(block: bool) -> None:
+        while fut_q and (block or fut_q[0][4].done()):
+            cid, chunk, occ_tracks, nuc_tracks, fut = fut_q.popleft()
+            occ_peaks, occ_payloads, nuc_computed = fut.result()
+            occ_res.peaks.extend(occ_peaks)
+            occ_stage.emit_chunk(chunk, occ_peaks, occ_payloads, occ_writers)
+            nuc_stage.emit_chunk(chunk, nuc_computed, nuc_writers, nuc_res)
+            if keep_tracks:
+                # occ tracks are evicted otherwise: nuc finishing was
+                # their last consumer, and the nfr stage streams them
+                # back from the indexed bedgraphs (VERDICT r2 item 5)
+                occ_res.tracks[cid] = occ_tracks
+                nuc_res.tracks[cid] = nuc_tracks
 
     m = eng.smooth_margin()
+    pending_occ = {}
     for batch, out in _pipelined(
             batches, dispatch,
             fetch_threads=cfg.window.fetch_threads,
@@ -136,7 +185,8 @@ def run_fused(
         # wire v5 (engine.unpack_run): decoded occ grid indices +
         # certified mask + u16-decoded norm + per-window quantization
         # steps; uncertified positions carry placeholder CI bounds and
-        # are f64-refinished below, qsteps widen the nuc tie guard
+        # are f64-refinished in finish_task, qsteps widen the nuc tie
+        # guard
         idx, cert_b, normm, qsteps = eng.unpack_run(np.asarray(out))
         cert = cert_b.astype(np.float64)
         occ_b = grid64[idx[:, 0]]
@@ -151,30 +201,25 @@ def run_fused(
             if cfg.occ.exact:
                 vals["cert"] = cert[r]
             # occ tile FIRST: a chunk's occ tracks complete before its nuc
-            # finishing looks them up (same tile set in both assemblers)
+            # tracks (same tile set in both assemblers)
             for cid, chunk, tracks in occ_asm.add(t, vals, 0):
-                if cfg.occ.exact:
-                    occ_stage._exact_refinish(chunk, tracks, frags)
-                occ_res.peaks.extend(
-                    occ_stage._finish_chunk(chunk, tracks, occ_writers)
-                )
-                occ_res.tracks[cid] = tracks
+                pending_occ[cid] = tracks
             nv = {k: nuc_arrs[k][r] for k in ("norm", "norm_smooth")}
             for cid, chunk, tracks in nuc_asm.add(t, nv, 0):
                 seq_provider.pop(cid)
-                nuc_stage._finish_chunk(
-                    cid, chunk, tracks, occ_lookup, nuc_writers, nuc_res
-                )
-                if keep_tracks:
-                    nuc_res.tracks[cid] = tracks
+                occ_tracks = pending_occ.pop(cid)
+                if pool is not None:
+                    fut = pool.submit(finish_task, cid, chunk, occ_tracks, tracks)
                 else:
-                    # a chunk's nuc finishing is the last consumer of its
-                    # occ tracks (same tile set in both assemblers, occ
-                    # added first) — evict so run-path host memory stays
-                    # O(batch), not O(genome) (VERDICT r2 item 5); the
-                    # nfr stage re-reads them lazily from the written
-                    # bedgraphs (pipeline.py :: _nfr_occ_tracks)
-                    occ_res.tracks.pop(cid, None)
+                    from concurrent.futures import Future
+
+                    fut = Future()
+                    fut.set_result(finish_task(cid, chunk, occ_tracks, tracks))
+                fut_q.append((cid, chunk, occ_tracks, tracks, fut))
+                drain(block=len(fut_q) > max(2, 2 * n_threads))
+    drain(block=True)
+    if pool is not None:
+        pool.shutdown()
 
     for w in occ_writers.values():
         w.close()

@@ -442,22 +442,52 @@ class NucStage:
         return res
 
     def _finish_chunk(self, cid, chunk, tracks, occ_lookup, writers, res) -> None:
+        computed = self.compute_chunk(
+            cid, chunk, tracks, occ_lookup, want_payloads=bool(writers)
+        )
+        self.emit_chunk(chunk, computed, writers, res)
+
+    def compute_chunk(self, cid, chunk, tracks, occ_lookup, want_payloads):
+        """Thread-safe compute phase of chunk finishing: f64-certified
+        selection + pre-formatted writer payloads. Touches no shared
+        mutable state (the ordered-parallel finisher in models/fused.py
+        runs this on worker threads; the heavy parts — C++ refinisher,
+        BLAS, RLE, native formatting — release the GIL)."""
+        from nucleoatac_tpu.io.tabix import prepare_bedgraph
+
+        stats = NucStageResult()  # counter carrier only
         if self.refinisher is not None:
             calls, red, sel = self._select_exact(
-                cid, chunk, tracks, occ_lookup, res
+                cid, chunk, tracks, occ_lookup, stats
             )
         else:
             calls, red, sel = self._select_legacy(cid, chunk, tracks, occ_lookup)
+        payloads = None
+        if want_payloads:
+            payloads = {
+                "norm": prepare_bedgraph(chunk.chrom, chunk.start, tracks["norm"]),
+                "smooth": prepare_bedgraph(
+                    chunk.chrom, chunk.start, tracks["norm_smooth"]
+                ),
+            }
+        return calls, red, sel, stats, payloads
+
+    def emit_chunk(self, chunk, computed, writers, res) -> None:
+        """Ordered emit phase: result aggregation + genome-ordered writes
+        (single-threaded, writer-owning thread only)."""
+        calls, red, sel, stats, payloads = computed
         res.calls.extend(calls)
         res.redundant.extend(red)
+        res.n_fallback_chunks += stats.n_fallback_chunks
+        res.n_resolved_chunks += stats.n_resolved_chunks
         # adjacent-dyad spacing histogram (reference nuc_dist diagnostics)
         for a, b in zip(sel, sel[1:]):
             d = b - a
             if d < len(res.nuc_dist):
                 res.nuc_dist[d] += 1
         if writers:
-            for name, key in (("norm", "norm"), ("smooth", "norm_smooth")):
-                writers[name].add_bedgraph(chunk.chrom, chunk.start, tracks[key])
+            writers["norm"].add_prepared(chunk.chrom, payloads["norm"])
+            writers["smooth"].add_prepared(chunk.chrom, payloads["smooth"])
             for c in calls:
                 writers["pos"].add(c.chrom, c.pos, c.pos + 1, c.bed_row())
             for c in red:

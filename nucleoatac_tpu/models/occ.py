@@ -334,6 +334,17 @@ class OccStage:
         tracks["upper"][flagged] = np.where(empty, 1.0, grid64[last])
 
     def _finish_chunk(self, chunk: Chunk, tracks, writers) -> List[OccPeak]:
+        peaks, payloads = self.compute_chunk(
+            chunk, tracks, want_payloads=bool(writers)
+        )
+        self.emit_chunk(chunk, peaks, payloads, writers)
+        return peaks
+
+    def compute_chunk(self, chunk: Chunk, tracks, want_payloads):
+        """Thread-safe compute phase (see NucStage.compute_chunk): peak
+        calling + pre-formatted track payloads; no shared mutable state."""
+        from nucleoatac_tpu.io.tabix import prepare_bedgraph
+
         cfg = self.cfg
         occ, lo, up = tracks["occ"], tracks["lower"], tracks["upper"]
         peaks_raw = call_occ_peaks(chunk, occ, lo, cfg)
@@ -342,15 +353,24 @@ class OccStage:
                     float(lo[p.pos - chunk.start]), float(up[p.pos - chunk.start]))
             for p in peaks_raw
         ]
-        if writers:
-            for name, arr in (("occ", occ), ("lower", lo), ("upper", up)):
-                writers[name].add_bedgraph(chunk.chrom, chunk.start, arr)
-            flank = cfg.occ.flank
-            for p in peaks:
-                s = max(0, p.pos - flank)
-                e = p.pos + flank + 1
-                writers["peaks"].add(
-                    p.chrom, s, e,
-                    f"{p.chrom}\t{s}\t{e}\t{p.occ:.5g}\t{p.lower:.5g}\t{p.upper:.5g}",
-                )
-        return peaks
+        payloads = None
+        if want_payloads:
+            payloads = {
+                name: prepare_bedgraph(chunk.chrom, chunk.start, arr)
+                for name, arr in (("occ", occ), ("lower", lo), ("upper", up))
+            }
+        return peaks, payloads
+
+    def emit_chunk(self, chunk: Chunk, peaks, payloads, writers) -> None:
+        if not writers:
+            return
+        for name in ("occ", "lower", "upper"):
+            writers[name].add_prepared(chunk.chrom, payloads[name])
+        flank = self.cfg.occ.flank
+        for p in peaks:
+            s = max(0, p.pos - flank)
+            e = p.pos + flank + 1
+            writers["peaks"].add(
+                p.chrom, s, e,
+                f"{p.chrom}\t{s}\t{e}\t{p.occ:.5g}\t{p.lower:.5g}\t{p.upper:.5g}",
+            )
