@@ -62,6 +62,17 @@ def _tune(p: argparse.ArgumentParser) -> None:
         choices=["delta12", "delta", "packed", "frags", "dense"],
         help="host->device wire format (DESIGN.md §10)",
     )
+    p.add_argument(
+        "--fetch-threads", type=int, default=WindowParams.fetch_threads,
+        help="concurrent device->host fetch threads (0 = serial async "
+             "pipelining; the benefit flips sign under relay volatility — "
+             "CLAUDE.md)",
+    )
+    p.add_argument(
+        "--finish-threads", type=int, default=WindowParams.finish_threads,
+        help="host chunk-finishing worker threads (-1 = auto, 0 = serial; "
+             "writes stay genome-ordered)",
+    )
 
 
 def build_config(args: argparse.Namespace) -> RunConfig:
@@ -86,6 +97,12 @@ def build_config(args: argparse.Namespace) -> RunConfig:
             conv=getattr(args, "conv", cfg.window.conv),
             batch=getattr(args, "batch", cfg.window.batch),
             transfer=transfer,
+            fetch_threads=getattr(
+                args, "fetch_threads", cfg.window.fetch_threads
+            ),
+            finish_threads=getattr(
+                args, "finish_threads", cfg.window.finish_threads
+            ),
         ),
         sizes=dataclasses.replace(cfg.sizes, lower=args.lower, upper=args.upper),
         occ=dataclasses.replace(

@@ -416,7 +416,15 @@ class DeviceEngine:
 
             from nucleoatac_tpu.ops.pallas_diag import nuc_conv_outputs_pallas
 
-            interp = _jax.devices()[0].platform not in ("tpu",)
+            # derive the platform from THIS engine's mesh devices, not the
+            # process-global default backend — in a mixed-backend process
+            # the two can disagree (ADVICE r3)
+            dev0 = (
+                self.mesh.devices.flat[0]
+                if self.mesh is not None
+                else _jax.devices()[0]
+            )
+            interp = dev0.platform not in ("tpu",)
             fo, bo = nuc_conv_outputs_pallas(
                 fmat, b0, *self._diag_kernels, interpret=interp
             )

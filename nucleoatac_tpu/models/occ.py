@@ -42,7 +42,14 @@ class OccPeak:
 class OccStageResult:
     mix: FragmentMixDistribution
     fragmentsizes: FragmentSizes
-    # per-chunk dense tracks, keyed by chunk index in the merged ChunkList
+    # per-chunk dense tracks, keyed by chunk index in the merged ChunkList.
+    # NOTE (library callers): after `run_pipeline` these are the PRINTED
+    # surface — values re-read from the 5-decimal bedgraphs just written
+    # (_LazyOccTracks), in BOTH the fused and two-pass paths, so that the
+    # NFR stage consumes one occ surface everywhere (the reference's nfr
+    # also reads the bedgraph, not process memory). Standalone
+    # OccStage.run(keep_tracks=True) keeps full-precision in-memory
+    # tracks. (ADVICE r3 documentation item.)
     tracks: Dict[int, Dict[str, np.ndarray]] = field(default_factory=dict)
     peaks: List[OccPeak] = field(default_factory=list)
     chunks: Optional[ChunkList] = None
