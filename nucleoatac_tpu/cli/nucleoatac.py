@@ -59,7 +59,7 @@ def _tune(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument(
         "--transfer", default=WindowParams.transfer,
-        choices=["delta12", "delta", "packed", "frags", "dense"],
+        choices=["pool", "delta12", "delta", "packed", "frags", "dense"],
         help="host->device wire format (DESIGN.md §10)",
     )
     p.add_argument(

@@ -182,7 +182,10 @@ class RunConfig:
         # 255), so any size >= 255 would collapse into the 255 bin and be
         # miscounted when upper > 255. Refuse rather than silently corrupt;
         # the CLI falls back to "packed" with a warning (cli/nucleoatac.py).
-        if self.window.transfer in ("delta", "delta12") and self.sizes.upper > 255:
+        if (
+            self.window.transfer in ("delta", "delta12", "pool")
+            and self.sizes.upper > 255
+        ):
             raise ValueError(
                 f"sizes.upper={self.sizes.upper} > 255 is incompatible with "
                 f"the '{self.window.transfer}' wire format (uint8 size "

@@ -343,6 +343,169 @@ def rasterize_host(
     return flat.reshape(S, width).astype(np.int16)
 
 
+@dataclass
+class PoolBatch:
+    """Wire-v7 upload (round-4 VERDICT item 4): fragments live in a
+    chunk-resident device pool uploaded ONCE per group; each window ships
+    only a 12-byte (rec_start, rec_count, base) table row pointing into
+    it. Kills the per-batch fragment re-upload (405 KB/batch at B=128
+    under wire v6), the halo duplication between overlapping windows of a
+    chunk, AND the per-batch host delta encode — byte reductions are the
+    one optimization class that pays under any relay condition
+    (PARITY.md volatility band)."""
+
+    pool: np.ndarray  # [cap//2 + cap] uint8 (nibble plane + size plane)
+    pool_id: int  # changes when a new pool must be uploaded
+    emax: int  # static per-run gather width (bucketed max records/window)
+    table: np.ndarray  # [B, 3] int32
+    meta: Sequence[TileMeta]
+
+
+def _encode_chunk_stream12(m_abs: np.ndarray, s: np.ndarray, lo: int):
+    """One chunk's 12-bit fragment records (wire-v6 semantics: fragment
+    record advances by its nibble 0..14; skip record (size byte 0)
+    advances nibble*15, so u = gap//15 units split into ceil(u/15) skips).
+    Returns (rec_nib uint8[T], rec_sz uint8[T], frag_record_pos int64[n],
+    pos_before int64[T] = absolute position before each record)."""
+    n = len(m_abs)
+    d = np.diff(m_abs, prepend=np.int64(lo)).astype(np.int64)
+    u = d // 15
+    frag_d = (d - u * 15).astype(np.uint8)  # 0..14
+    k = (u + 14) // 15  # skip records per fragment
+    total = int(n + k.sum())
+    rec_nib = np.full(total, 15, np.uint8)  # skips default to 15 units
+    rec_sz = np.zeros(total, np.uint8)
+    frag_pos = (np.arange(n) + np.cumsum(k)).astype(np.int64)
+    rec_nib[frag_pos] = frag_d
+    rec_sz[frag_pos] = np.minimum(s, 255).astype(np.uint8)
+    has = k > 0
+    r = (u - 15 * (k - 1)).astype(np.uint8)  # last skip: 1..15 units
+    rec_nib[frag_pos[has] - 1] = r[has]
+    adv = np.where(rec_sz == 0, rec_nib.astype(np.int64) * 15, rec_nib)
+    pos_before = lo + np.cumsum(adv) - adv
+    return rec_nib, rec_sz, frag_pos, pos_before
+
+
+def make_pool_batches(
+    frags: BamFragments,
+    tiles: Sequence[TileMeta],
+    width: int,
+    batch: int,
+    budget: int = 1 << 18,
+) -> Iterator[PoolBatch]:
+    """Yields PoolBatch groups: whole chunks are packed into record pools
+    of ~``budget`` records (one pow2 pool capacity for the whole run —
+    compile-once, like the frag_cap bucket); batches within a group share
+    its pool array, so the dispatcher uploads each pool exactly once.
+    The last batch of a group may be partially filled (padding rows have
+    rec_count 0)."""
+    emax = _bucket(max_window_frags(frags, tiles, width) + width // 255 + 1)
+
+    # chunk runs (tiles are emitted chunk-contiguous by tile_chunks)
+    runs: List[Tuple[int, int]] = []
+    for i, t in enumerate(tiles):
+        if runs and tiles[runs[-1][0]].chunk_id == t.chunk_id:
+            runs[-1] = (runs[-1][0], i + 1)
+        else:
+            runs.append((i, i + 1))
+
+    def chunk_entries(a: int, b: int, pool_off: int):
+        """Stream + per-tile table rows for tiles[a:b] (one chunk).
+        ``pool_off`` must be even (nibble-byte alignment); streams are
+        padded to even length to keep it so."""
+        ts = tiles[a:b]
+        lo = min(t.win_start for t in ts)
+        hi = max(t.win_start for t in ts) + width
+        m_abs, s = frags.window(ts[0].chrom, lo, hi)
+        m_abs = m_abs.astype(np.int64)
+        rec_nib, rec_sz, frag_pos, pos_before = _encode_chunk_stream12(
+            m_abs, s, lo
+        )
+        rows = np.zeros((len(ts), 3), np.int32)
+        for r, t in enumerate(ts):
+            j0 = int(np.searchsorted(m_abs, t.win_start))
+            j1 = int(np.searchsorted(m_abs, t.win_start + width))
+            if j1 <= j0:
+                continue  # empty window: (0, 0, 0)
+            rs = int(frag_pos[j0])
+            rs -= rs & 1  # even-align; the extra record decodes left of
+            # the window and is masked by the raster
+            re_ = int(frag_pos[j1 - 1]) + 1
+            base = int(pos_before[rs]) - t.win_start
+            rows[r] = (pool_off + rs, re_ - rs, base)
+        if len(rec_nib) & 1:  # pad stream to even record count
+            rec_nib = np.append(rec_nib, np.uint8(0))
+            rec_sz = np.append(rec_sz, np.uint8(0))
+        return rec_nib, rec_sz, rows
+
+    # Phase 1: encode every chunk stream once (numpy, ~2 B/fragment of
+    # host memory — trivial even at genome scale); exact emax from the
+    # actual per-window record counts
+    enc = []
+    emax_raw = 1
+    for a, b in runs:
+        nib, sz, rows = chunk_entries(a, b, 0)
+        if len(rows):
+            emax_raw = max(emax_raw, int(rows[:, 1].max()))
+        enc.append((a, b, nib, sz, rows))
+    emax = _bucket(emax_raw)  # pow2 -> even (nibble-plane gather width)
+
+    # Phase 2: group split on actual stream lengths; one pow2 capacity for
+    # the whole run (compile-once). The largest single chunk stream may
+    # exceed the budget and owns its group.
+    max_len = 0
+    cur = 0
+    for _, _, nib, _, _ in enc:
+        if cur and cur + len(nib) > budget:
+            max_len = max(max_len, cur)
+            cur = 0
+        cur += len(nib)
+    max_len = max(max_len, cur, 1)
+    cap = _bucket(max_len, minimum=1024)
+
+    pool_id = 0
+    pos = 0
+    nib_parts: List[np.ndarray] = []
+    sz_parts: List[np.ndarray] = []
+    rows_buf: List[np.ndarray] = []
+    metas: List[TileMeta] = []
+
+    def flush_group():
+        nonlocal pool_id, pos, nib_parts, sz_parts, rows_buf, metas
+        if not metas:
+            return
+        nib = np.zeros(cap, np.uint8)
+        cat = np.concatenate(nib_parts)
+        nib[: len(cat)] = cat
+        sz = np.zeros(cap, np.uint8)
+        cat = np.concatenate(sz_parts)
+        sz[: len(cat)] = cat
+        pool = np.concatenate(
+            [(nib[0::2] | (nib[1::2] << 4)).astype(np.uint8), sz]
+        )
+        rows = np.concatenate(rows_buf)
+        for i in range(0, len(metas), batch):
+            table = np.zeros((batch, 3), np.int32)
+            sub = rows[i : i + batch]
+            table[: len(sub)] = sub
+            yield PoolBatch(pool, pool_id, emax, table, metas[i : i + batch])
+        pool_id += 1
+        pos = 0
+        nib_parts, sz_parts, rows_buf, metas = [], [], [], []
+
+    for a, b, nib, sz, rows in enc:
+        if metas and pos + len(nib) > budget:
+            yield from flush_group()
+        nonzero = rows[:, 1] > 0
+        rows[nonzero, 0] += pos
+        nib_parts.append(nib)
+        sz_parts.append(sz)
+        rows_buf.append(rows)
+        metas.extend(tiles[a:b])
+        pos += len(nib)
+    yield from flush_group()
+
+
 def tile_chunks(
     chunks: ChunkList, cfg: WindowParams, occ: OccParams, vmat: VMatParams
 ) -> List[TileMeta]:

@@ -134,6 +134,22 @@ class DeviceEngine:
         self._raster_packed = jax.jit(self._raster_packed_impl, **jit_kwargs)
         self._raster_delta = jax.jit(self._raster_delta_impl, **jit_kwargs)
         self._raster_delta12 = jax.jit(self._raster_delta12_impl, **jit_kwargs)
+        # pool raster (wire v7): the record pool is REPLICATED across the
+        # mesh (every device's windows gather anywhere in it); only the
+        # per-window table shards on 'data'
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            data_s = NamedSharding(mesh, P("data"))
+            self._raster_pool = jax.jit(
+                self._raster_pool_impl, static_argnames=("emax",),
+                in_shardings=(repl, data_s), out_shardings=data_s,
+            )
+        else:
+            self._raster_pool = jax.jit(
+                self._raster_pool_impl, static_argnames=("emax",)
+            )
         if pwm is not None:
             self._logbias_seq = jax.jit(self._logbias_seq_impl, **jit_kwargs)
             self._logbias_nib = jax.jit(self._logbias_nib_impl, **jit_kwargs)
@@ -191,6 +207,19 @@ class DeviceEngine:
         E = 2 * buf.shape[1] // 3
         return rasterize_delta12_batch(
             buf, E, self.cfg.sizes.lower, self.cfg.sizes.upper, self.width
+        )
+
+    def _raster_pool_impl(self, pool, table, *, emax):
+        """On-device rasterization from the chunk-resident record pool
+        (wire v7, models/data.py :: PoolBatch): fragments upload once per
+        group; windows carry a 12-byte table row. Downstream programs are
+        the SAME as the per-window formats, so outputs are bitwise
+        identical (tests/test_transfer.py)."""
+        from nucleoatac_tpu.ops.rasterize import rasterize_pool_batch
+
+        return rasterize_pool_batch(
+            pool, table, emax,
+            self.cfg.sizes.lower, self.cfg.sizes.upper, self.width,
         )
 
     def _logbias_nib_impl(self, packed_codes):
@@ -617,6 +646,23 @@ class DeviceEngine:
         lo = best - (raw[:, 1] & 0xF)
         up = np.minimum(best + (raw[:, 1] >> 4), G - 1)
         return np.stack([best, lo, up], axis=1), cert
+
+    # Wire-v7 pool entry points (chunk-resident fragment pool; same
+    # downstream programs — only rasterization differs):
+    def run_step_pool(self, pool, table, packed_codes, emax: int):
+        mat = self._raster_pool(pool, table, emax=emax)
+        occ2 = self._occ_packed2(mat)
+        norm16 = self._u16(self._nucm(mat, self._logbias_nib(packed_codes)))
+        return self._pack_run(occ2, norm16)
+
+    def occ_step_pool_p2(self, pool, table, emax: int):
+        return self._occ_packed2(self._raster_pool(pool, table, emax=emax))
+
+    def nuc_step_pool_seq_m16(self, pool, table, packed_codes, emax: int):
+        return self._nucm16(
+            self._raster_pool(pool, table, emax=emax),
+            self._logbias_nib(packed_codes),
+        )
 
     # Wire-v6 upload entry points (12-bit fragment records; same
     # downstream programs as the delta set — only rasterization differs):

@@ -45,7 +45,7 @@ def fused_supported(cfg: RunConfig, engine: DeviceEngine) -> bool:
     deltas and u24 norm both lean on the f64 refinishers); anything else
     falls back to the two-pass drivers."""
     return (
-        cfg.window.transfer in ("delta", "delta12")
+        cfg.window.transfer in ("delta", "delta12", "pool")
         and engine.pwm is not None
         and cfg.nuc.exact
         and cfg.occ.exact
@@ -98,7 +98,25 @@ def run_fused(
     seq_provider = SeqCodesProvider(nuc_stage.fasta, chunks, eng, cfg.window.batch)
     from nucleoatac_tpu.models.data import pack_nibble_codes
 
-    if cfg.window.transfer == "delta12":
+    if cfg.window.transfer == "pool":
+        from nucleoatac_tpu.models.data import make_pool_batches
+
+        # one device-resident pool per group: jnp.asarray uploads it once
+        # and every batch of the group reuses the same device buffer
+        pool_dev = {"id": None, "arr": None}
+
+        def dispatch(batch):
+            nib = pack_nibble_codes(seq_provider.rows(batch.meta))
+            if batch.pool_id != pool_dev["id"]:
+                pool_dev["id"] = batch.pool_id
+                pool_dev["arr"] = jnp.asarray(batch.pool)
+            return eng.run_step_pool(
+                pool_dev["arr"], jnp.asarray(batch.table), jnp.asarray(nib),
+                batch.emax,
+            )
+
+        batches = make_pool_batches(frags, tiles, eng.width, cfg.window.batch)
+    elif cfg.window.transfer == "delta12":
         from nucleoatac_tpu.models.data import make_delta12_batches
 
         def dispatch(batch):

@@ -320,10 +320,15 @@ class NucStage:
         # [B, 5, W] legacy f32 (engine._nuc5). The download link bounds
         # windows/s (scripts/roofline.py).
         sfx = "_m16" if exact else "_c"
+        # the pool wire is a fused-run format; standalone stages fall back
+        # to the per-window delta12 upload (same device programs)
+        transfer = cfg.window.transfer
+        if transfer == "pool":
+            transfer = "delta12"
         # a precomputed bias track forces the log-bias upload path (the
         # on-device PWM would recompute bias from sequence)
         seq_ok = eng.pwm is not None and self.bias_source is None
-        if cfg.window.transfer == "delta12" and seq_ok:
+        if transfer == "delta12" and seq_ok:
             step = getattr(eng, "nuc_step_delta12_seq" + sfx)
 
             def dispatch(batch):
@@ -337,7 +342,7 @@ class NucStage:
             batches = make_delta12_batches(
                 frags, tiles, eng.width, cfg.window.batch
             )
-        elif cfg.window.transfer == "delta12":
+        elif transfer == "delta12":
             step = getattr(eng, "nuc_step_delta12" + sfx)
 
             def dispatch(batch):
@@ -350,7 +355,7 @@ class NucStage:
             batches = make_delta12_batches(
                 frags, tiles, eng.width, cfg.window.batch
             )
-        elif cfg.window.transfer == "delta" and seq_ok:
+        elif transfer == "delta" and seq_ok:
             step = getattr(eng, "nuc_step_delta_seq" + sfx)
 
             def dispatch(batch):
@@ -360,7 +365,7 @@ class NucStage:
                 )
 
             batches = make_delta_batches(frags, tiles, eng.width, cfg.window.batch)
-        elif cfg.window.transfer == "delta":
+        elif transfer == "delta":
             step = getattr(eng, "nuc_step_delta" + sfx)
 
             def dispatch(batch):
@@ -369,7 +374,7 @@ class NucStage:
                 )
 
             batches = make_delta_batches(frags, tiles, eng.width, cfg.window.batch)
-        elif cfg.window.transfer == "packed" and seq_ok:
+        elif transfer == "packed" and seq_ok:
             step = getattr(eng, "nuc_step_packed_seq" + sfx)
 
             def dispatch(batch):
@@ -378,7 +383,7 @@ class NucStage:
                 )
 
             batches = make_packed_batches(frags, tiles, eng.width, cfg.window.batch)
-        elif cfg.window.transfer == "packed":
+        elif transfer == "packed":
             step = getattr(eng, "nuc_step_packed" + sfx)
 
             def dispatch(batch):
@@ -387,7 +392,7 @@ class NucStage:
                 )
 
             batches = make_packed_batches(frags, tiles, eng.width, cfg.window.batch)
-        elif cfg.window.transfer == "frags":
+        elif transfer == "frags":
             step = getattr(eng, "nuc_step_frags" + sfx)
 
             def dispatch(batch):

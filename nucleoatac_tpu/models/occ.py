@@ -206,7 +206,12 @@ class OccStage:
         # refinisher); non-exact mode keeps wire v2 (occ_step_*_c3,
         # 3 bytes/bp, full CI indices — no refinisher to fall back on).
         sfx = "_p2" if cfg.occ.exact else "_c3"
-        if cfg.window.transfer == "delta12":
+        # the pool wire is a fused-run format; standalone stages fall back
+        # to the per-window delta12 upload (same device programs)
+        transfer = cfg.window.transfer
+        if transfer == "pool":
+            transfer = "delta12"
+        if transfer == "delta12":
             step = getattr(eng, "occ_step_delta12" + sfx)
 
             def dispatch(batch):
@@ -217,21 +222,21 @@ class OccStage:
             batches = make_delta12_batches(
                 frags, tiles, eng.width, cfg.window.batch
             )
-        elif cfg.window.transfer == "delta":
+        elif transfer == "delta":
             step = getattr(eng, "occ_step_delta" + sfx)
 
             def dispatch(batch):
                 return step(jnp.asarray(batch.delta))
 
             batches = make_delta_batches(frags, tiles, eng.width, cfg.window.batch)
-        elif cfg.window.transfer == "packed":
+        elif transfer == "packed":
             step = getattr(eng, "occ_step_packed" + sfx)
 
             def dispatch(batch):
                 return step(jnp.asarray(batch.packed))
 
             batches = make_packed_batches(frags, tiles, eng.width, cfg.window.batch)
-        elif cfg.window.transfer == "frags":
+        elif transfer == "frags":
             step = getattr(eng, "occ_step_packed" + sfx)
 
             def dispatch(batch):

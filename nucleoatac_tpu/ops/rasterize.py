@@ -95,6 +95,59 @@ def rasterize_delta_batch(
     return rasterize_batch(mids, sizes, valid, lower, upper, width)
 
 
+def unpack_pool_fragments(pool: jax.Array, table: jax.Array, emax: int):
+    """Chunk-resident fragment pool decode (wire v7, round-4 VERDICT
+    item 4): fragments upload ONCE per chunk as a shared 12-bit/record
+    stream; each window carries only a 12-byte table row into it — no
+    per-batch re-upload, no halo duplication between a chunk's
+    overlapping windows, no per-batch host encode.
+
+    pool: [cap//2 + cap] uint8 — a nibble-packed delta plane (2 records
+    per byte, low nibble first) followed by the size-byte plane, with the
+    SAME record semantics as wire v6 (unpack_delta12_fragments): size in
+    [1, 255] = fragment advancing by its nibble (0..14), size 0 = skip
+    advancing nibble*15. cap is recovered from the pool length
+    (len = 3*cap/2). table: [B, 3] int32 ``(rec_start, rec_count, base)``
+    with rec_start EVEN (nibble-byte aligned; the host extends a window's
+    range down one record when needed — the extra leading record decodes
+    to a midpoint left of the window and is masked by the raster).
+    ``base`` is the window-relative position the first record's advance
+    extends. emax: static even gather width (>= max rec_count).
+
+    Returns (mids, sizes, valid) exactly like the per-window formats —
+    the downstream programs are shared, so pool outputs are bitwise
+    identical (tests/test_transfer.py)."""
+    cap = 2 * pool.shape[0] // 3
+    nb = cap // 2
+    rs = table[:, 0:1]
+    ar2 = jnp.arange(emax // 2, dtype=jnp.int32)[None, :]
+    nib = jnp.take(
+        pool, jnp.clip((rs >> 1) + ar2, 0, nb - 1), axis=0
+    ).astype(jnp.int32)  # [B, emax//2]
+    d = jnp.stack([nib & 0xF, nib >> 4], axis=-1).reshape(
+        table.shape[0], emax
+    )
+    ar = jnp.arange(emax, dtype=jnp.int32)[None, :]
+    s = jnp.take(
+        pool, nb + jnp.clip(rs + ar, 0, cap - 1), axis=0
+    ).astype(jnp.int32)
+    in_cnt = ar < table[:, 1:2]
+    d = jnp.where(in_cnt, d, 0)
+    s = jnp.where(in_cnt, s, 0)
+    adv = jnp.where(s == 0, d * 15, d)
+    mids = table[:, 2:3] + jnp.cumsum(adv, axis=1)
+    return mids, s, s > 0
+
+
+def rasterize_pool_batch(
+    pool: jax.Array, table: jax.Array, emax: int, lower: int, upper: int,
+    width: int,
+) -> jax.Array:
+    """Pool-resident fragments -> [B, upper-lower, width] f32 counts."""
+    mids, sizes, valid = unpack_pool_fragments(pool, table, emax)
+    return rasterize_batch(mids, sizes, valid, lower, upper, width)
+
+
 def rasterize_packed_batch(
     packed: jax.Array, lower: int, upper: int, width: int
 ) -> jax.Array:

@@ -140,3 +140,34 @@ def test_fused_and_two_pass_nfr_consume_same_occ_surface(tmp_path):
 
     assert rows_one == rows_two
     assert rows_one  # non-vacuous: at least one NFR called
+
+
+def test_pool_transfer_run_outputs_identical(tmp_path):
+    """`nucleoatac run` with transfer='pool' (wire v7) writes byte-identical
+    outputs to the delta12 wire."""
+    import dataclasses
+    import gzip
+
+    from tests.synth import make_example
+
+    from nucleoatac_tpu.config import RunConfig, WindowParams
+    from nucleoatac_tpu.models.pipeline import run_pipeline
+
+    ex = make_example(tmp_path)
+    outs = {}
+    for mode in ("delta12", "pool"):
+        cfg = RunConfig(window=WindowParams(core=256, batch=4, transfer=mode))
+        out = str(tmp_path / f"out_{mode}")
+        run_pipeline(
+            ex["bam"], ex["bed"], out, fasta_path=ex["fasta"], cfg=cfg,
+            write_plots=False,
+        )
+        outs[mode] = out
+    for sfx in (
+        ".occ.bedgraph.gz", ".occpeaks.bed.gz", ".nucpos.bed.gz",
+        ".nucleoatac_signal.bedgraph.gz", ".nfrpos.bed.gz",
+    ):
+        with gzip.open(outs["delta12"] + sfx) as f1, gzip.open(
+            outs["pool"] + sfx
+        ) as f2:
+            assert f1.read() == f2.read(), sfx

@@ -468,3 +468,68 @@ def test_delta12_sparse_extreme_gaps(rng):
                unpack_delta12_fragments(jnp.asarray(buf), E))
     np.testing.assert_array_equal(m[0][v[0]], mids[0])
     np.testing.assert_array_equal(s[0][v[0]], sizes[0])
+
+
+def test_pool_wire_bitwise_equals_delta12():
+    """Wire v7 (chunk-resident pool + per-window table) must produce a
+    BITWISE-identical run_step output buffer to the per-window delta12
+    upload: the rasterized count matrix is integer-exact in both, and the
+    downstream programs are shared."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.synth import make_example
+    import tempfile, pathlib
+
+    from nucleoatac_tpu.config import RunConfig, WindowParams
+    from nucleoatac_tpu.core.chunk import ChunkList
+    from nucleoatac_tpu.core.pwm import PWM
+    from nucleoatac_tpu.io.bam import scan_bam
+    from nucleoatac_tpu.models.data import (
+        delta12_entry_capacity,
+        make_delta12_batches,
+        make_pool_batches,
+        pack_nibble_codes,
+        tile_chunks,
+    )
+    from nucleoatac_tpu.models.engine import DeviceEngine
+    from nucleoatac_tpu.models.occ import fit_mixture
+
+    d = pathlib.Path(tempfile.mkdtemp())
+    ex = make_example(d)
+    cfg = RunConfig(window=WindowParams(core=256, batch=4))
+    frags = scan_bam(ex["bam"])
+    chunks = ChunkList.read(ex["bed"], frags.chrom_dict).merge()
+    fs, mix = fit_mixture(frags, chunks, cfg)
+    eng = DeviceEngine(cfg, mix, fs, pwm=PWM.default())
+    tiles = tile_chunks(chunks, cfg.window, cfg.occ, cfg.vmat)
+    rng = np.random.default_rng(0)
+    nib_rows = [
+        pack_nibble_codes(
+            rng.integers(0, 4, size=(4, eng.seq_codes_width())).astype(np.uint8)
+        )
+    ]
+
+    outs_d12 = []
+    for b in make_delta12_batches(frags, tiles, eng.width, 4):
+        outs_d12.append(
+            np.asarray(
+                eng.run_step_delta12(jnp.asarray(b.buf), jnp.asarray(nib_rows[0]))
+            )[: len(b.meta)]
+        )
+    outs_pool = []
+    # small budget to force multiple pool groups
+    for b in make_pool_batches(frags, tiles, eng.width, 4, budget=2048):
+        outs_pool.append(
+            np.asarray(
+                eng.run_step_pool(
+                    jnp.asarray(b.pool), jnp.asarray(b.table),
+                    jnp.asarray(nib_rows[0]), b.emax,
+                )
+            )[: len(b.meta)]
+        )
+    a = np.concatenate(outs_d12)
+    c = np.concatenate(outs_pool)
+    # tile order is identical in both batchings
+    assert a.shape == c.shape
+    np.testing.assert_array_equal(a, c)
