@@ -71,11 +71,24 @@ def call_nfrs(
         bias_fn = lambda chrom, lo, hi: chunk_log_bias(  # noqa: E731
             fasta, pwm, chrom, lo, hi
         )
-    by_chrom: Dict[str, List[int]] = {}
+    by_chrom: Dict[str, np.ndarray] = {}
     for e in combined:
         by_chrom.setdefault(e.chrom, []).append(e.pos)
-    for v in by_chrom.values():
-        v.sort()
+    by_chrom = {k: np.sort(np.asarray(v, np.int64)) for k, v in by_chrom.items()}
+    _empty = np.zeros(0, np.int64)
+
+    # per-chunk log-bias computed once and sliced per NFR (a per-NFR
+    # bias_fn call paid a FASTA fetch + PWM scan each — ~20 s at config-4
+    # scale for ~58k NFRs)
+    _bias_cache: Dict[int, np.ndarray] = {}
+
+    def chunk_bias(cid: int, chunk: Chunk) -> np.ndarray:
+        b = _bias_cache.get(cid)
+        if b is None:
+            b = bias_fn(chunk.chrom, chunk.start, chunk.end)
+            _bias_cache.clear()  # keep at most one chunk resident
+            _bias_cache[cid] = b
+        return b
 
     out: List[NFR] = []
     for cid, chunk in enumerate(chunks):
@@ -83,9 +96,8 @@ def call_nfrs(
         if tr is None:
             continue
         occ, upper = tr["occ"], tr["upper"]
-        dyads = [
-            d for d in by_chrom.get(chunk.chrom, []) if chunk.start <= d < chunk.end
-        ]
+        cd = by_chrom.get(chunk.chrom, _empty)
+        dyads = cd[np.searchsorted(cd, chunk.start) : np.searchsorted(cd, chunk.end)]
         # candidate gaps: chunk edges + nucleosome-excluded zones
         cands = []
         prev_end = chunk.start
@@ -110,7 +122,7 @@ def call_nfrs(
             max_up = float(upper[i0:i1].max()) if i1 > i0 else 1.0
             mean_occ = float(occ[i0:i1].mean())
             ins = frags.insertions_in(chunk.chrom, s, e)
-            logb = bias_fn(chunk.chrom, s, e)
+            logb = chunk_bias(cid, chunk)[i0:i1]
             out.append(
                 NFR(
                     chunk.chrom, s, e, mean_occ, max_up,

@@ -241,8 +241,14 @@ def run_pipeline(
 
         # --- nfr (reference run_nfr.py) --------------------------------
         with stage_timer("nfr"):
+            # nfr iterates chunks strictly in order -> stream the written
+            # occ bedgraphs in ONE pass instead of per-chunk indexed
+            # fetches (same 5-decimal printed surface as occ_res.tracks)
+            from nucleoatac_tpu.models.standalone import SequentialOccTracks
+
             nfrs = call_nfrs(
-                cfg, chunks, combined, occ_res.tracks, frags, pwm, fasta,
+                cfg, chunks, combined,
+                SequentialOccTracks(out_prefix, chunks), frags, pwm, fasta,
                 f"{out_prefix}.nfrpos.bed.gz",
                 bias_fn=bias_source.log_bias if bias_source else None,
             )

@@ -171,6 +171,83 @@ def run_merge(args) -> None:
     merge_maps(nuc_calls, occ_peaks, args.sep, f"{args.out}.nucmap_combined.bed.gz")
 
 
+class SequentialOccTracks:
+    """Streaming, cid-ordered variant of _LazyOccTracks for the nfr pass:
+    ONE linear scan of each occ bedgraph instead of three indexed BGZF
+    fetches per chunk (~30k random seeks ≈ minutes at BASELINE config-4
+    scale — round-4 profiling). Valid only for non-decreasing cid access
+    over the same ChunkList the run wrote (which is exactly how
+    models/nfr.py iterates); _LazyOccTracks remains the random-access
+    surface for library callers."""
+
+    def __init__(self, prefix: str, chunks: ChunkList):
+        from nucleoatac_tpu.io.bgzf import iter_bgzf_lines
+
+        self.chunks = chunks
+        self._rank: Dict[str, int] = {}
+        for c in chunks:
+            self._rank.setdefault(c.chrom, len(self._rank))
+        self._streams = {
+            name: [iter_bgzf_lines(f"{prefix}.{sfx}.bedgraph.gz"), None]
+            for name, sfx in (
+                ("occ", "occ"),
+                ("lower", "occ.lower_bound"),
+                ("upper", "occ.upper_bound"),
+            )
+        }
+        self._cached: tuple | None = None
+
+    def _peek(self, st):
+        if st[1] is None:
+            line = next(st[0], None)
+            if line:
+                f = line.split("\t")
+                st[1] = (f[0], int(f[1]), int(f[2]), float(f[3]))
+        return st[1]
+
+    def get(self, cid: int):
+        if cid < 0 or cid >= len(self.chunks):
+            return None
+        if self._cached is not None and self._cached[0] == cid:
+            return self._cached[1]
+        chunk = self.chunks[cid]
+        n = len(chunk)
+        out = {
+            "occ": np.zeros(n),
+            "lower": np.zeros(n),
+            "upper": np.ones(n),
+        }
+        rank = self._rank.get(chunk.chrom, -1)
+        for name, st in self._streams.items():
+            arr = out[name]
+            while True:
+                row = self._peek(st)
+                if row is None:
+                    break
+                chrom, a, b, v = row
+                r = self._rank.get(chrom, 1 << 30)
+                if r > rank or (r == rank and a >= chunk.end):
+                    break  # belongs to a later chunk
+                if r == rank and b > chunk.start:
+                    arr[max(a, chunk.start) - chunk.start
+                        : min(b, chunk.end) - chunk.start] = v
+                st[1] = None  # consume
+        self._cached = (cid, out)
+        return out
+
+    def __getitem__(self, cid: int):
+        tracks = self.get(cid)
+        if tracks is None:
+            raise KeyError(cid)
+        return tracks
+
+    def __contains__(self, cid: int) -> bool:
+        return 0 <= cid < len(self.chunks)
+
+    def __len__(self) -> int:
+        return len(self.chunks)
+
+
 class _LazyOccTracks:
     """cid -> dense chunk tracks, fetched on demand from the indexed occ
     bedgraphs (one chunk resident at a time instead of the whole genome —
