@@ -72,8 +72,11 @@ class FastaFile:
             return ""
         fb = offset + (start // linebases) * linewidth + (start % linebases)
         lb = offset + ((end - 1) // linebases) * linewidth + ((end - 1) % linebases) + 1
-        self._fh.seek(fb)
-        raw = self._fh.read(lb - fb)
+        # positioned read: no shared seek state, so concurrent fetches
+        # from finisher worker threads are safe (a shared seek+read pair
+        # interleaved across threads returned wrong-length sequences —
+        # caught at BASELINE config-4 scale under the parallel finisher)
+        raw = os.pread(self._fh.fileno(), lb - fb, fb)
         return raw.replace(b"\n", b"").replace(b"\r", b"").decode().upper()
 
     def close(self) -> None:

@@ -271,3 +271,29 @@ def test_native_bedgraph_formatter_matches_python():
     ]
     assert got == want
     assert offsets[-1] == len(blob)
+
+
+def test_fasta_fetch_thread_safe(tmp_path):
+    """Concurrent fetches must return correct sequences (the parallel
+    chunk finisher calls fetch from worker threads; a shared seek+read
+    pair interleaved across threads returned wrong-length data)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    from nucleoatac_tpu.io.fasta import FastaFile, write_fasta
+
+    rng = np.random.default_rng(2)
+    seq = "".join(rng.choice(list("ACGT"), 100_000))
+    path = str(tmp_path / "t.fa")
+    write_fasta(path, {"chr1": seq})
+    fa = FastaFile(path)
+    spans = [(int(a), int(a) + int(w)) for a, w in zip(
+        rng.integers(0, 90_000, 400), rng.integers(1, 9_000, 400))]
+
+    def job(span):
+        a, b = span
+        return fa.fetch("chr1", a, b) == seq[a:b]
+
+    with ThreadPoolExecutor(8) as ex:
+        assert all(ex.map(job, spans * 4))
