@@ -43,6 +43,12 @@ def pyatac_parser() -> argparse.ArgumentParser:
     pv.add_argument("--lower", type=int, default=105)
     pv.add_argument("--upper", type=int, default=251)
     pv.add_argument("--flank", type=int, default=73)
+    pv.add_argument(
+        "--device", action="store_true",
+        help="aggregate on the accelerator (batched raster; equal to the "
+             "host path, worth it above ~10k sites — pyatac.py crossover "
+             "note)",
+    )
 
     pbv = sub.add_parser("bias_vplot", help="expected V-plot from Tn5 bias")
     _add_bam(pbv)
@@ -170,7 +176,8 @@ def main(argv=None) -> int:
     )
 
     if cmd == "vplot":
-        mat = P.aggregate_vplot(
+        agg = P.aggregate_vplot_device if args.device else P.aggregate_vplot
+        mat = agg(
             frags, ChunkList.read(args.bed, frags.chrom_dict),
             args.lower, args.upper, args.flank,
         )
