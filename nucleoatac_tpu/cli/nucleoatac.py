@@ -79,7 +79,7 @@ def build_config(args: argparse.Namespace) -> RunConfig:
     cfg = RunConfig()
     transfer = getattr(args, "transfer", cfg.window.transfer)
     upper = getattr(args, "upper", cfg.sizes.upper)
-    if transfer in ("delta", "delta12") and upper > 255:
+    if transfer in ("delta", "delta12", "pool") and upper > 255:
         import sys
 
         print(

@@ -142,13 +142,15 @@ class DeviceEngine:
 
             repl = NamedSharding(mesh, P())
             data_s = NamedSharding(mesh, P("data"))
+            # emax is static and positional: pjit rejects kwargs when
+            # in_shardings is given
             self._raster_pool = jax.jit(
-                self._raster_pool_impl, static_argnames=("emax",),
+                self._raster_pool_impl, static_argnums=(2,),
                 in_shardings=(repl, data_s), out_shardings=data_s,
             )
         else:
             self._raster_pool = jax.jit(
-                self._raster_pool_impl, static_argnames=("emax",)
+                self._raster_pool_impl, static_argnums=(2,)
             )
         if pwm is not None:
             self._logbias_seq = jax.jit(self._logbias_seq_impl, **jit_kwargs)
@@ -209,7 +211,7 @@ class DeviceEngine:
             buf, E, self.cfg.sizes.lower, self.cfg.sizes.upper, self.width
         )
 
-    def _raster_pool_impl(self, pool, table, *, emax):
+    def _raster_pool_impl(self, pool, table, emax):
         """On-device rasterization from the chunk-resident record pool
         (wire v7, models/data.py :: PoolBatch): fragments upload once per
         group; windows carry a 12-byte table row. Downstream programs are
@@ -650,17 +652,17 @@ class DeviceEngine:
     # Wire-v7 pool entry points (chunk-resident fragment pool; same
     # downstream programs — only rasterization differs):
     def run_step_pool(self, pool, table, packed_codes, emax: int):
-        mat = self._raster_pool(pool, table, emax=emax)
+        mat = self._raster_pool(pool, table, emax)
         occ2 = self._occ_packed2(mat)
         norm16 = self._u16(self._nucm(mat, self._logbias_nib(packed_codes)))
         return self._pack_run(occ2, norm16)
 
     def occ_step_pool_p2(self, pool, table, emax: int):
-        return self._occ_packed2(self._raster_pool(pool, table, emax=emax))
+        return self._occ_packed2(self._raster_pool(pool, table, emax))
 
     def nuc_step_pool_seq_m16(self, pool, table, packed_codes, emax: int):
         return self._nucm16(
-            self._raster_pool(pool, table, emax=emax),
+            self._raster_pool(pool, table, emax),
             self._logbias_nib(packed_codes),
         )
 

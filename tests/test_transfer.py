@@ -246,8 +246,8 @@ def test_delta_guards():
         WindowParams,
     )
 
-    # delta + sizes.upper > 255 would miscount saturated fragments
-    with pytest.raises(ValueError, match="delta"):
+    # pool/delta + sizes.upper > 255 would miscount saturated fragments
+    with pytest.raises(ValueError, match="wire format"):
         RunConfig(sizes=SizesParams(upper=300))
     # packed is fine at the same upper
     RunConfig(
