@@ -22,7 +22,12 @@ class BamFragments:
 
     ref_names: List[str]
     ref_lengths: List[int]
-    mids: Dict[str, np.ndarray]  # int32, sorted ascending
+    # int64 mids: np.searchsorted against an int32 haystack with a
+    # python-int (int64) needle PROMOTES — i.e. copies — the whole chrom
+    # array per call (~300 us at 500k frags; measured round 4). Every
+    # window lookup in the pipeline searches this array, so the dtype is
+    # the performance contract.
+    mids: Dict[str, np.ndarray]  # int64, sorted ascending
     sizes: Dict[str, np.ndarray]  # int32, co-indexed with mids
 
     @property
@@ -33,28 +38,37 @@ class BamFragments:
         return sum(len(v) for v in self.mids.values())
 
     def window(self, chrom: str, lo: int, hi: int):
-        """Fragments with midpoint in [lo, hi): (mids, sizes) int32."""
+        """Fragments with midpoint in [lo, hi): (mids int64, sizes int32)."""
         m = self.mids.get(chrom)
         if m is None or len(m) == 0:
-            return np.empty(0, np.int32), np.empty(0, np.int32)
+            return np.empty(0, np.int64), np.empty(0, np.int32)
         a = np.searchsorted(m, lo, side="left")
         b = np.searchsorted(m, hi, side="left")
         return m[a:b], self.sizes[chrom][a:b]
 
     def insertions_in(self, chrom: str, lo: int, hi: int) -> int:
         """Number of Tn5 insertion ends falling in [lo, hi): both fragment
-        ends counted (DESIGN.md §8 NFR insertion density)."""
+        ends counted (DESIGN.md §8 NFR insertion density).
+
+        Slices FIRST (binary search with a cached per-chrom max-size
+        slop), then computes ends on the slice only — the old whole-chrom
+        end arrays + per-call s.max() made this O(chrom) per call, which
+        was 129 s of the 188 s config-4 nfr stage (~58k calls)."""
         m = self.mids.get(chrom)
         if m is None or len(m) == 0:
             return 0
         s = self.sizes[chrom]
-        left = m - (s - 1) // 2
-        right = m + s // 2
-        # mids sorted; ends within max_size/2 of mid — search with slop
-        slop = int(s.max()) if len(s) else 0
+        if not hasattr(self, "_max_size"):
+            self._max_size = {}
+        slop = self._max_size.get(chrom)
+        if slop is None:
+            slop = self._max_size[chrom] = int(s.max()) if len(s) else 0
         a = np.searchsorted(m, lo - slop, side="left")
         b = np.searchsorted(m, hi + slop, side="left")
-        li, ri = left[a:b], right[a:b]
+        mm = m[a:b]
+        ss = s[a:b].astype(np.int64)
+        li = mm - (ss - 1) // 2
+        ri = mm + ss // 2
         return int(((li >= lo) & (li < hi)).sum() + ((ri >= lo) & (ri < hi)).sum())
 
 
@@ -65,7 +79,7 @@ def _to_mid_sorted(lefts: Dict[str, np.ndarray], sizes: Dict[str, np.ndarray]):
         s = sizes[chrom]
         m = l + (s - 1) // 2
         order = np.argsort(m, kind="stable")
-        mids[chrom] = m[order].astype(np.int32)
+        mids[chrom] = m[order].astype(np.int64)
         out_sizes[chrom] = s[order].astype(np.int32)
     return mids, out_sizes
 

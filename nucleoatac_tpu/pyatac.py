@@ -29,7 +29,12 @@ def fragment_ends(
     if m is None or len(m) == 0:
         return np.empty(0, np.int64)
     s = frags.sizes[chrom]
-    slop = int(s.max()) if len(s) else 0
+    # cached per-chrom max (a per-call whole-chrom max was O(chrom))
+    if not hasattr(frags, "_max_size"):
+        frags._max_size = {}
+    slop = frags._max_size.get(chrom)
+    if slop is None:
+        slop = frags._max_size[chrom] = int(s.max()) if len(s) else 0
     a = np.searchsorted(m, lo - slop)
     b = np.searchsorted(m, hi + slop)
     mm, ss = m[a:b].astype(np.int64), s[a:b].astype(np.int64)
