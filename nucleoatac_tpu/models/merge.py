@@ -35,13 +35,13 @@ def merge_maps(
     by_chrom = {}
     for e in entries:
         by_chrom.setdefault(e.chrom, []).append(e.pos)
-    for v in by_chrom.values():
-        v.sort()
+    # per-chrom arrays built ONCE (a per-peak np.asarray of the full
+    # chrom dyad list was O(dyads) per occ peak — ~35 s at config-4)
+    by_chrom = {k: np.sort(np.asarray(v, np.int64)) for k, v in by_chrom.items()}
     for p in occ_peaks:
-        dyads = by_chrom.get(p.chrom)
-        if dyads:
-            arr = np.asarray(dyads)
-            i = np.searchsorted(arr, p.pos)
+        arr = by_chrom.get(p.chrom)
+        if arr is not None and len(arr):
+            i = int(np.searchsorted(arr, p.pos))
             near = min(
                 abs(int(arr[j]) - p.pos)
                 for j in (max(0, i - 1), min(len(arr) - 1, i))
