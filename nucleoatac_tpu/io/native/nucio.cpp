@@ -370,6 +370,11 @@ long nucio_format_bedgraph(const char* chrom, const int64_t* starts,
     w += snprintf(out + w, 32, "%lld", static_cast<long long>(ends[i]));
     out[w++] = '\t';
     long vw = snprintf(out + w, 40, "%.*f", decimals, vals[i]);
+    // snprintf returns the WOULD-BE length: a truncated value (|v| >=
+    // ~1e34 or huge `decimals`) would otherwise advance `w` past
+    // unwritten bytes and break the per-line 96-byte reserve checked at
+    // loop entry. Fail cleanly like the cap check does.
+    if (vw < 0 || vw >= 40) return -1;
     // strip trailing zeros after the '.', then a bare trailing '.'
     if (memchr(out + w, '.', vw) != nullptr) {
       while (vw > 0 && out[w + vw - 1] == '0') --vw;

@@ -399,8 +399,6 @@ def make_pool_batches(
     its pool array, so the dispatcher uploads each pool exactly once.
     The last batch of a group may be partially filled (padding rows have
     rec_count 0)."""
-    emax = _bucket(max_window_frags(frags, tiles, width) + width // 255 + 1)
-
     # chunk runs (tiles are emitted chunk-contiguous by tile_chunks)
     runs: List[Tuple[int, int]] = []
     for i, t in enumerate(tiles):

@@ -225,7 +225,13 @@ def run_fused(
             nv = {k: nuc_arrs[k][r] for k in ("norm", "norm_smooth")}
             for cid, chunk, tracks in nuc_asm.add(t, nv, 0):
                 seq_provider.pop(cid)
-                occ_tracks = pending_occ.pop(cid)
+                occ_tracks = pending_occ.pop(cid, None)
+                if occ_tracks is None:
+                    raise RuntimeError(
+                        f"nuc chunk {cid} finished before its occ tracks — "
+                        "the occ/nuc assembler tile sets diverged (they must "
+                        "share one tile set, occ added first)"
+                    )
                 if pool is not None:
                     fut = pool.submit(finish_task, cid, chunk, occ_tracks, tracks)
                 else:

@@ -167,6 +167,17 @@ class OccStage:
         if self.cfg.occ.exact:
             self._m64 = mix.log_mix_table(self.cfg.occ)
             self._grid64 = mix.alpha_grid(self.cfg.occ)
+            # Runtime guard on the certification tolerance (ADVICE r4):
+            # exact_tol was validated empirically per backend (PARITY.md
+            # "tolerances validated per backend"); a new TPU generation /
+            # XLA version could push |LL_f32 - LL_f64| past it and
+            # silently mis-certify. On the first chunks of every run a
+            # sample of CERTIFIED positions is recomputed in f64 and must
+            # reproduce the device's grid picks exactly — failing loudly
+            # beats silently losing exactness. Decremented from finisher
+            # worker threads without a lock: a lost decrement only spot-
+            # checks an extra chunk.
+            self._spot_chunks = 8
 
     def run(
         self,
@@ -303,32 +314,42 @@ class OccStage:
         are provably f64-equal and only the rest (rare) are recomputed
         here from raw fragment windows — integer counts, so the f64
         finishing step is deterministic and mirror-identical."""
-        cfg = self.cfg
         cert = tracks.pop("cert")
         flagged = np.flatnonzero(cert < 0.5)
+        if getattr(self, "_spot_chunks", 0) > 0:
+            self._spot_chunks -= 1
+            self._spot_check(chunk, tracks, frags, np.flatnonzero(cert >= 0.5))
         if len(flagged) == 0:
             return
+        occ_v, lo_v, up_v = self._f64_picks(chunk, flagged, frags)
+        tracks["occ"][flagged] = occ_v
+        tracks["lower"][flagged] = lo_v
+        tracks["upper"][flagged] = up_v
+
+    def _f64_picks(self, chunk: Chunk, positions: np.ndarray, frags: BamFragments):
+        """Float64 occ/lower/upper grid values at chunk-relative positions.
+        One chunk-wide fragment fetch + vectorized per-window histograms
+        (the per-position python loop this replaces dominated the occ
+        stage wall time at realistic flag rates). The LL is computed as
+        `counts_f64 @ M64` — the same operation and summation order as
+        the f64 mirror's per-window `cnt @ M64`, so grid picks stay
+        mirror-identical."""
+        cfg = self.cfg
         p0 = cfg.occ
         lower, upper = cfg.sizes.lower, cfg.sizes.upper
         S = upper - lower
         M64, grid64 = self._m64, self._grid64
         G = len(grid64)
-        # One chunk-wide fragment fetch + vectorized per-window histograms
-        # (the per-position python loop this replaces dominated the occ
-        # stage wall time at realistic flag rates). The LL is computed as
-        # `counts_f64 @ M64` — the same operation and summation order as
-        # the f64 mirror's per-window `cnt @ M64`, so grid picks stay
-        # mirror-identical.
         m, s = frags.window(
             chunk.chrom, chunk.start - p0.flank, chunk.end + p0.flank + 1
         )
         keep = (s >= lower) & (s < upper)
         m, s = m[keep], s[keep]
-        pos_abs = chunk.start + flagged
+        pos_abs = chunk.start + positions
         lo = np.searchsorted(m, pos_abs - p0.flank)
         hi = np.searchsorted(m, pos_abs + p0.flank + 1)
         tot = hi - lo
-        P = len(flagged)
+        P = len(positions)
         counts = np.zeros((P, S), np.float64)
         if tot.sum() > 0:
             rows = np.repeat(np.arange(P), tot)
@@ -341,9 +362,37 @@ class OccStage:
         first = np.argmax(ok, axis=1)
         last = G - 1 - np.argmax(ok[:, ::-1], axis=1)
         empty = tot == 0
-        tracks["occ"][flagged] = np.where(empty, 0.0, grid64[best])
-        tracks["lower"][flagged] = np.where(empty, 0.0, grid64[first])
-        tracks["upper"][flagged] = np.where(empty, 1.0, grid64[last])
+        return (
+            np.where(empty, 0.0, grid64[best]),
+            np.where(empty, 0.0, grid64[first]),
+            np.where(empty, 1.0, grid64[last]),
+        )
+
+    def _spot_check(
+        self, chunk: Chunk, tracks, frags: BamFragments, certified: np.ndarray
+    ) -> None:
+        """Recompute a sample of device-CERTIFIED positions in f64 and fail
+        loudly if any grid pick differs — a live guard that occ.exact_tol
+        (validated per backend offline) still holds on THIS backend
+        (ADVICE r4)."""
+        if len(certified) == 0:
+            return
+        sample = certified[:: max(1, len(certified) // 32)][:32]
+        occ_v, lo_v, up_v = self._f64_picks(chunk, sample, frags)
+        for name, want in (("occ", occ_v), ("lower", lo_v), ("upper", up_v)):
+            got = tracks[name][sample]
+            bad = np.flatnonzero(got != want)
+            if len(bad):
+                i = int(bad[0])
+                raise RuntimeError(
+                    f"occ certification spot-check FAILED at "
+                    f"{chunk.chrom}:{chunk.start + int(sample[i])} "
+                    f"({name}: device {got[i]!r} != f64 {want[i]!r}). "
+                    "The device f32 LL error on this backend exceeds "
+                    f"occ.exact_tol={self.cfg.occ.exact_tol}; re-validate "
+                    "the tolerance on this backend "
+                    "(scripts/probe_pool_tpu.py) and raise exact_tol."
+                )
 
     def _finish_chunk(self, chunk: Chunk, tracks, writers) -> List[OccPeak]:
         peaks, payloads = self.compute_chunk(
