@@ -309,6 +309,39 @@ def main() -> None:
         except Exception as e:  # never break the headline line
             print(f"# e2e pipeline failed: {e!r}", file=sys.stderr)
 
+    # --- at-scale rows of record (VERDICT r4 item 7): surface the latest
+    # config-4-scale e2e run and the latest config-5 multi-host run from
+    # ATSCALE.json (written by scripts/bench_e2e.py / the config-5 driver)
+    # so BENCH_r*.json captures them, not just PARITY prose.
+    try:
+        import os
+
+        apath = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "ATSCALE.json"
+        )
+        if os.path.exists(apath):
+            with open(apath) as fh:
+                runs = json.load(fh).get("runs", [])
+            c4 = [r for r in runs if r.get("kind") == "e2e"
+                  and r.get("peaks", 0) >= 10000]
+            c5 = [r for r in runs if r.get("kind") == "config5"]
+            if c4:
+                r = c4[-1]
+                out["config4_windows_per_s"] = r["windows_per_s"]
+                out["config4_wall_s"] = r["wall_s"]
+                out["config4_peaks"] = r["peaks"]
+                out["config4_backend"] = r["backend"]
+                out["config4_ts"] = r["ts"]
+            if c5:
+                r = c5[-1]
+                out["config5_windows_per_s"] = r["windows_per_s"]
+                out["config5_wall_s"] = r["wall_s"]
+                out["config5_hosts"] = r.get("hosts")
+                out["config5_samples"] = r.get("samples")
+                out["config5_ts"] = r["ts"]
+    except Exception as e:
+        print(f"# atscale rows unavailable: {e!r}", file=sys.stderr)
+
     print(json.dumps(out))
 
 

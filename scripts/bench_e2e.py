@@ -83,6 +83,27 @@ def synth_dataset(workdir, n_chroms, n_peaks, peak_bp, frags_per_peak, seed=7):
     return bam, bed, fa
 
 
+def record_atscale(rec: dict) -> None:
+    """Append an at-scale run record to <repo>/ATSCALE.json (bounded log;
+    bench.py surfaces the latest config-4/config-5 rows in the bench of
+    record — VERDICT r4 item 7)."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ATSCALE.json",
+    )
+    runs = []
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                runs = json.load(fh).get("runs", [])
+        except (OSError, ValueError):
+            runs = []
+    runs.append(rec)
+    with open(path, "w") as fh:
+        json.dump({"runs": runs[-100:]}, fh, indent=1)
+        fh.write("\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--peaks", type=int, default=500)
@@ -135,6 +156,32 @@ def main():
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     total_bp = args.peaks * args.peak_bp
     n_frags = args.peaks * args.frags_per_peak
+
+    # Record the at-scale e2e number machine-readably (VERDICT r4 item 7):
+    # bench.py reads ATSCALE.json and carries the latest config-4-scale
+    # row into the bench-of-record JSON line.
+    from nucleoatac_tpu.config import RunConfig
+    from nucleoatac_tpu.core.chunk import ChunkList
+    from nucleoatac_tpu.io.bam import scan_bam as _scan
+    from nucleoatac_tpu.models.data import tile_chunks
+
+    _cfg = RunConfig()
+    n_windows = len(
+        tile_chunks(
+            ChunkList.read(bed, _scan(bam).chrom_dict).merge(),
+            _cfg.window, _cfg.occ, _cfg.vmat,
+        )
+    )
+    record_atscale({
+        "kind": "e2e",
+        "peaks": args.peaks,
+        "fragments": n_frags,
+        "backend": jax.default_backend(),
+        "wall_s": round(t_run, 2),
+        "windows": n_windows,
+        "windows_per_s": round(n_windows / t_run, 2),
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    })
     print(json.dumps({
         "metric": "e2e pipeline peak-bp/s (ingest+occ+nuc+merge+nfr+writers)",
         "value": round(total_bp / t_run, 1),
