@@ -56,17 +56,21 @@ class OccParams:
     # from the raw fragment lists, making occ/lower/upper outputs equal
     # to the f64 mirror's grid selections
     exact: bool = True
-    # bound on |LL_f32 device - LL_f64|: measured max 1.7e-4 on CPU-XLA
-    # and 1.13e-3 on the axon TPU (bf16x3 einsum + reduce_window;
-    # scripts/probe_pool_tpu.py, round 4) -> 5e-3 is a 4.4x margin over
-    # the worst backend. The old 0.05 default certified only ~3% of
-    # positions (the CI boundary's distance to the nearest grid LL is
-    # uniform in the local grid step ~0.01-0.1), flooding the host
-    # refinisher; 5e-3 certifies ~35% with the same f64-equality
-    # guarantee. The LL is CONCAVE in alpha, so min_g |ll_g - thr| is
-    # always attained boundary-adjacent - scoping the min to the CI
-    # boundary (measured) changes nothing.
-    exact_tol: float = 5e-3
+    # bound on |LL_f32 device - LL_f64|. Round 5 moved the LL einsum to
+    # HIGHEST matmul precision (bf16x6 = full f32 products on TPU;
+    # ops/occupancy.py :: _ll_and_n), which cut the axon-TPU error from
+    # 1.13e-3 (bf16x3, round 4) to the f32-accumulation level: measured
+    # max 1.7e-4 on CPU-XLA and 1.50e-4 on the axon TPU
+    # (scripts/probe_pool_tpu.py, round 5) -> 1e-3 is a ~5x margin over
+    # the worst backend, and certification now survives low coverage:
+    # on the 30-frags/window synth, tol 5e-3 certified 33% of positions
+    # (the argmax margin scales with window counts) while 1e-3
+    # certifies 83% (with the wire v8 5-bit CI deltas). A runtime
+    # spot-check guards the margin on unvalidated backends
+    # (models/occ.py :: _spot_check). The LL is CONCAVE in alpha, so
+    # min_g |ll_g - thr| is always attained boundary-adjacent - scoping
+    # the min to the CI boundary (measured) changes nothing.
+    exact_tol: float = 1e-3
 
 
 @dataclass(frozen=True)
@@ -95,9 +99,15 @@ class NucParams:
     # host; selection decisions whose f32 score margins fall below
     # 2*exact_tol are settled individually on f64 point values
     # (SmoothResolver). exact_tol bounds |f32 device track - f64 mirror
-    # track| (measured ~2e-4 at HIGH matmul precision; 10x safety margin).
+    # track|: measured max ~2e-4 on CPU-XLA and 9.8e-5 on the axon TPU
+    # (scripts/probe_nuc_tol_tpu.py, round 4; the nuc conv path is
+    # unchanged since) -> 8e-4 is a 4x margin over the worst backend.
+    # Round 5 lowered it from 2e-3 (10-20x): the ambiguous-comparison
+    # count — and with it the SmoothResolver's share of chunk-finishing
+    # wall — scales linearly with the tie-guard width 2*(exact_tol +
+    # qstep/2), and 4x is the same multiplier the occ tolerance uses.
     exact: bool = True
-    exact_tol: float = 2e-3
+    exact_tol: float = 8e-4
     # strict: additionally refinish the smoothed-score column of every
     # printed row in f64 (costly on few host cores; the column is f32
     # otherwise, everything else in the row is f64 either way)

@@ -386,8 +386,9 @@ class DeviceEngine:
 
 
     def _occ_packed2_impl(self, mat):
-        """Wire v4 occ finisher: uint8 [B, 2, core] — argmax index +
-        certified bit, CI bounds as 4-bit deltas (ops/occupancy.py ::
+        """Wire v8 occ finisher: uint8 [B, 2*core + ceil(core/4)] —
+        argmax index + certified bit, CI bounds as 5-bit deltas (low
+        nibbles + packed hi-bit plane; ops/occupancy.py ::
         occupancy_packed2). Requires occ.exact (delta overflow falls back
         to the f64 refinisher via the cleared certified flag)."""
         from nucleoatac_tpu.ops.occupancy import occupancy_packed2
@@ -632,21 +633,30 @@ class DeviceEngine:
         f64-refinished (models/occ.py :: _exact_refinish); the nuc tie
         guard widens its margin threshold by max(qstep) of the chunk
         (models/nuc.py :: _tie_guard)."""
-        B = buf.shape[0]
-        n_occ = 2 * self.core
-        idx, cert = self.decode_occ2(buf[:, :n_occ].reshape(B, 2, self.core))
+        n_occ = 2 * self.core + (self.core + 3) // 4
+        idx, cert = self.decode_occ2(buf[:, :n_occ])
         norm, qstep = self.f32_from_u16(buf[:, n_occ:])
         return idx, cert, norm, qstep
 
     def decode_occ2(self, raw: np.ndarray):
-        """uint8 [B, 2, core] (occupancy_packed2) -> (idx int64
-        [B, 3, core] clipped to the grid, cert bool [B, core])."""
+        """uint8 [B, 2*core + ceil(core/4)] (occupancy_packed2, wire v8:
+        argmax byte + CI-delta low-nibble byte + packed 5th delta bits)
+        -> (idx int64 [B, 3, core] clipped to the grid, cert bool
+        [B, core])."""
         G = self.log_mix.shape[1]
+        n = self.core
         raw = raw.astype(np.int64)
-        best = raw[:, 0] & 0x7F
-        cert = (raw[:, 0] >> 7).astype(bool)
-        lo = best - (raw[:, 1] & 0xF)
-        up = np.minimum(best + (raw[:, 1] >> 4), G - 1)
+        ch0, ch1, hib = raw[:, :n], raw[:, n : 2 * n], raw[:, 2 * n :]
+        best = ch0 & 0x7F
+        cert = (ch0 >> 7).astype(bool)
+        # expand the 2-bit hi plane: position p's bits live in byte p//4
+        # at bit offset 2*(p%4)
+        p = np.arange(n)
+        hi2 = (hib[:, p // 4] >> (2 * (p % 4))) & 3
+        lo_d = (ch1 & 0xF) | ((hi2 & 1) << 4)
+        up_d = (ch1 >> 4) | ((hi2 >> 1) << 4)
+        lo = best - lo_d
+        up = np.minimum(best + up_d, G - 1)
         return np.stack([best, lo, up], axis=1), cert
 
     # Wire-v7 pool entry points (chunk-resident fragment pool; same

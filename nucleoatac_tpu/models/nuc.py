@@ -553,12 +553,17 @@ class NucStage:
         norm32 = tracks["norm"]
         smooth32 = tracks["norm_smooth"]
         # exact_tol bounds |device f32 - f64| per track value; the wire-v5
-        # u16 norm adds at most this chunk's max quantization scale on top
-        # (engine._u16_impl: |decode - f32| <= scale/2, qstep = scale is 2x
-        # conservative). eps2 = 2*tol bounds the error of any COMPARISON
-        # between two track values. Widening tol only ever ADDS f64
-        # resolutions.
-        tol = p.exact_tol + self._qstep_by_cid.pop(cid, 0.0)
+        # u16 norm adds at most scale/2 on top (engine._u16_impl rounds to
+        # nearest: |decode - f32| <= scale/2 exactly; qstep = scale, so
+        # qstep/2 is the tight bound — pinned by test_u16_norm_roundtrip —
+        # plus a hair for the f32 decode arithmetic). eps2 = 2*tol bounds
+        # the error of any COMPARISON between two track values. Widening
+        # tol only ever ADDS f64 resolutions.
+        tol = (
+            p.exact_tol
+            + 0.5 * self._qstep_by_cid.pop(cid, 0.0) * (1.0 + 1e-2)
+            + 1e-7
+        )
         eps2 = 2.0 * tol
         bias64 = None  # built lazily
         W = eng.width

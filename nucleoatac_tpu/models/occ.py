@@ -348,8 +348,16 @@ class OccStage:
         pos_abs = chunk.start + positions
         lo = np.searchsorted(m, pos_abs - p0.flank)
         hi = np.searchsorted(m, pos_abs + p0.flank + 1)
+        # Dedup identical fragment windows (round 5): at low coverage,
+        # runs of adjacent positions see the same [lo, hi) fragment
+        # slice — and low coverage is exactly where most positions are
+        # flagged — so compute each distinct window once and fan the
+        # grid picks back out (measured ~3x on the sparse synth).
+        key = lo.astype(np.int64) * (np.int64(len(m)) + 1) + hi
+        _, ui, inv = np.unique(key, return_index=True, return_inverse=True)
+        lo, hi = lo[ui], hi[ui]
         tot = hi - lo
-        P = len(positions)
+        P = len(ui)
         counts = np.zeros((P, S), np.float64)
         if tot.sum() > 0:
             rows = np.repeat(np.arange(P), tot)
@@ -363,9 +371,9 @@ class OccStage:
         last = G - 1 - np.argmax(ok[:, ::-1], axis=1)
         empty = tot == 0
         return (
-            np.where(empty, 0.0, grid64[best]),
-            np.where(empty, 0.0, grid64[first]),
-            np.where(empty, 1.0, grid64[last]),
+            np.where(empty, 0.0, grid64[best])[inv],
+            np.where(empty, 0.0, grid64[first])[inv],
+            np.where(empty, 1.0, grid64[last])[inv],
         )
 
     def _spot_check(

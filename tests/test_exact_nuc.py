@@ -211,6 +211,49 @@ def test_cpp_refinisher_equals_numpy(tmp_path):
     np.testing.assert_allclose(tsa, tsb, rtol=1e-9, atol=1e-9)
 
 
+def test_fft_full_tracks_equal_mirror():
+    """Round 5: TileSession.full_stat_tracks (frequency-domain
+    correlations) matches the f64 mirror and the C++ fresh-sums kernel
+    within the module's operation-order band on every stat track."""
+    from nucleoatac_tpu import mirror
+    from nucleoatac_tpu.models.nuc_exact import NucRefinisher, TileSession
+
+    cfg = RunConfig(window=WindowParams(core=256, batch=4))
+    rng = np.random.default_rng(5)
+    W = cfg.window.width(cfg.occ, cfg.vmat)
+    n = 600
+    mids = np.sort(rng.integers(0, W, size=n)).astype(np.int32)
+    sizes = rng.integers(80, 251, size=n).astype(np.int32)
+    lb = 0.3 * rng.standard_normal(W)
+    q = rng.random(cfg.vmat.upper - cfg.vmat.lower)
+    q /= q.sum()
+    vm = VMat.default(cfg.vmat)
+    r = NucRefinisher(cfg, vm, q, None, None)
+    s = TileSession(r, mids, sizes, lb)
+    sc = mirror.nuc_scores(
+        s.F, s.B0, np.asarray(vm.mat, np.float64),
+        cfg.nuc.v_floor, cfg.nuc.var_floor,
+    )
+    # C++ point stats at some core columns BEFORE the full tracks exist
+    halo = cfg.window.halo(cfg.occ, cfg.vmat)
+    cols = np.arange(halo + 10, W - halo - 10, 17, dtype=np.int64)
+    point = s.stats_at(cols, want_smooth=True)
+    full = s.full_stat_tracks()
+    for k, ref in (("norm", sc.norm), ("lr", sc.lr), ("signal", sc.signal),
+                   ("fuzz", sc.fuzz), ("n", sc.n)):
+        np.testing.assert_allclose(full[k], ref, rtol=1e-10, atol=1e-10,
+                                   err_msg=k)
+    np.testing.assert_allclose(
+        full["smooth"], np.convolve(sc.norm, r.gk, mode="same"),
+        rtol=1e-10, atol=1e-10,
+    )
+    # cached-lookup stats_at agrees with the C++ fresh-sums values
+    cached = s.stats_at(cols, want_smooth=True)
+    for k in ("norm", "lr", "signal", "fuzz", "n", "smooth"):
+        np.testing.assert_allclose(cached[k], point[k], rtol=1e-9,
+                                   atol=1e-9, err_msg=k)
+
+
 def _tie_dataset(d):
     """Two identical fragment clusters closer than nuc_sep -> exactly tied
     f64 scores conflicting in greedy selection."""

@@ -112,12 +112,14 @@ def test_occ_exact_on_engineered_near_ties(tmp_path):
 
 
 def test_occ_certification_engages(tmp_path, monkeypatch):
-    """Round-4 regression pin: exact_tol=0.05 certified only ~3% of
-    positions (99% flooded the host f64 refinisher) without any test
-    noticing. At the measured-bound tolerance ~11% certify on this
-    LOW-COVERAGE synth (the 4-bit CI-delta wire field overflows when CIs
-    span >15 grid steps, which dominates at ~30 frags/window; denser
-    data certifies far more). Pin the regression boundary."""
+    """Certification-rate regression pin (rounds 4-5). Round 4:
+    exact_tol=0.05 certified only ~3% of positions (99% flooded the
+    host f64 refinisher) without any test noticing; the 4-bit CI-delta
+    field then capped certification at ~11% on this LOW-COVERAGE synth
+    (~30 frags/window). Round 5 (VERDICT r4 item 3): wire v8's 5-bit
+    deltas + the HIGHEST-precision LL einsum (which justifies
+    exact_tol=1e-3, a ~5x margin over both backends' measured error)
+    certify ~81% here — flag rate 0.19, pinned at < 0.30."""
     import os
     import sys
 
@@ -144,4 +146,4 @@ def test_occ_certification_engages(tmp_path, monkeypatch):
         bam, bed, str(tmp_path / "out"), fasta_path=fa, write_plots=False
     )
     assert seen["bp"] > 0
-    assert seen["flagged"] / seen["bp"] < 0.95  # certification engages
+    assert seen["flagged"] / seen["bp"] < 0.30  # certification survives low coverage

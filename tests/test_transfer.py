@@ -319,29 +319,30 @@ def test_nuc_c2_matches_tracks(rng):
 
 
 def test_occ_packed2_matches_packed3_where_certified(rng):
-    """Wire v4: uint8 [B, 2, core] (CI bounds as 4-bit deltas) decodes to
-    the same occ/lower/upper as wire v2 at every CERTIFIED position, and
-    every position v2 certified that v4 does not is exactly a delta
-    overflow or an empty window (the two documented fallback cases, both
-    routed through the f64 refinisher)."""
+    """Wire v8: uint8 [B, 2*core + ceil(core/4)] (CI bounds as 5-bit
+    deltas — 4-bit low nibbles + a packed hi-bit plane) decodes to the
+    same occ/lower/upper as wire v2 at every CERTIFIED position, and
+    every position v2 certified that v8 does not is exactly a delta
+    overflow (>31 grid steps) or an empty window (the two documented
+    fallback cases, both routed through the f64 refinisher)."""
     cfg, eng, db, _ = _tiny(rng)
     v2 = np.asarray(eng.occ_step_delta_c3(jnp.asarray(db)), np.int64)
-    v4 = np.asarray(eng.occ_step_delta_p2(jnp.asarray(db)))
-    assert v4.shape == (db.shape[0], 2, eng.core)
-    idx4, cert4 = eng.decode_occ2(v4)
+    v8 = np.asarray(eng.occ_step_delta_p2(jnp.asarray(db)))
+    assert v8.shape == (db.shape[0], 2 * eng.core + (eng.core + 3) // 4)
+    idx8, cert8 = eng.decode_occ2(v8)
     idx2 = v2 & 0x7F
     cert2 = (v2[:, 0] >> 7).astype(bool)
-    # wherever v4 certifies, all three indices agree with v2
-    sel = np.broadcast_to(cert4[:, None], idx4.shape)
-    np.testing.assert_array_equal(idx4[sel], idx2[sel])
-    # v4 certifies a subset of v2 (extra fallbacks only)
-    assert not np.any(cert4 & ~cert2)
-    extra = cert2 & ~cert4
+    # wherever v8 certifies, all three indices agree with v2
+    sel = np.broadcast_to(cert8[:, None], idx8.shape)
+    np.testing.assert_array_equal(idx8[sel], idx2[sel])
+    # v8 certifies a subset of v2 (extra fallbacks only)
+    assert not np.any(cert8 & ~cert2)
+    extra = cert2 & ~cert8
     lo_d = idx2[:, 0] - idx2[:, 1]
     up_d = idx2[:, 2] - idx2[:, 0]
     full = eng.occ_step_delta(jnp.asarray(db))
     empty = np.asarray(full.n)[:, eng.core_lo : eng.core_lo + eng.core] <= 0
-    assert np.all((lo_d > 15) | (up_d > 15) | empty | ~extra)
+    assert np.all((lo_d > 31) | (up_d > 31) | empty | ~extra)
 
 
 def test_u24_norm_roundtrip(rng):
