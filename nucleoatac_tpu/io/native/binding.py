@@ -65,6 +65,57 @@ except AttributeError:
     HAS_FORMAT_BEDGRAPH = False
 
 
+try:
+    _lib.nucio_parse_bedgraph.restype = ctypes.c_long
+    _lib.nucio_parse_bedgraph.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ctypes.c_long, ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long),
+    ]
+    HAS_PARSE_BEDGRAPH = True
+except AttributeError:
+    HAS_PARSE_BEDGRAPH = False
+
+
+def parse_bedgraph_native(buf: bytes, max_lines: int = 1 << 20):
+    """C++ bedgraph text parse (nucio.cpp :: nucio_parse_bedgraph).
+
+    Returns (chroms, seg_starts, starts, ends, vals, consumed): line i in
+    [seg_starts[k], seg_starts[k+1]) has chrom chroms[k]; ``consumed`` is
+    the byte count of complete parsed lines (a trailing partial line is
+    the caller's carry-over)."""
+    n_est = min(max_lines, buf.count(b"\n") + 1)
+    starts = np.empty(n_est, np.int64)
+    ends = np.empty(n_est, np.int64)
+    vals = np.empty(n_est, np.float64)
+    max_breaks = 4096
+    breaks = np.empty(max_breaks, np.int64)
+    break_offs = np.empty(max_breaks, np.int64)
+    nb = ctypes.c_long(0)
+    consumed = ctypes.c_long(0)
+    n = _lib.nucio_parse_bedgraph(
+        buf, len(buf), n_est,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        breaks.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        break_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        max_breaks, ctypes.byref(nb), ctypes.byref(consumed),
+    )
+    if n < 0:
+        raise ValueError("nucio_parse_bedgraph: malformed bedgraph line")
+    k = nb.value
+    chroms = []
+    for off in break_offs[:k]:
+        off = int(off)
+        chroms.append(buf[off : buf.index(b"\t", off)].decode())
+    seg_starts = np.concatenate([breaks[:k], [n]]).astype(np.int64)
+    return chroms, seg_starts, starts[:n], ends[:n], vals[:n], consumed.value
+
+
 def format_bedgraph_native(
     chrom: str, starts: np.ndarray, ends: np.ndarray, vals: np.ndarray,
     decimals: int = 5,

@@ -297,3 +297,67 @@ def test_fasta_fetch_thread_safe(tmp_path):
 
     with ThreadPoolExecutor(8) as ex:
         assert all(ex.map(job, spans * 4))
+
+
+def test_parse_bedgraph_native_roundtrip(tmp_path):
+    """Round 5: the C++ bedgraph text parser (nucio_parse_bedgraph) is
+    the exact inverse of the formatter, matches the pure-python block
+    fallback, and the block-stream reader reproduces per-line parsing
+    through SequentialOccTracks at chunk granularity."""
+    import gzip
+
+    import numpy as np
+    import pytest
+
+    try:
+        from nucleoatac_tpu.io.native.binding import (
+            HAS_PARSE_BEDGRAPH,
+            parse_bedgraph_native,
+        )
+    except (OSError, ImportError):
+        HAS_PARSE_BEDGRAPH = False
+    if not HAS_PARSE_BEDGRAPH:
+        pytest.skip("libnucio.so without nucio_parse_bedgraph")
+
+    rng = np.random.default_rng(4)
+    lines = []
+    rows = []
+    pos = 0
+    for chrom in ("chr1", "chr2", "chr10"):
+        pos = 0
+        for _ in range(500):
+            ln = int(rng.integers(1, 40))
+            v = float(np.round(rng.normal(0, 3), 5))
+            lines.append(f"{chrom}\t{pos}\t{pos + ln}\t{v:g}")
+            rows.append((chrom, pos, pos + ln, float(f"{v:g}")))
+            pos += ln
+    text = ("\n".join(lines) + "\n").encode()
+    # full-buffer parse
+    chroms, seg, starts, ends, vals, consumed = parse_bedgraph_native(text)
+    assert consumed == len(text)
+    assert chroms == ["chr1", "chr2", "chr10"]
+    assert list(seg) == [0, 500, 1000, 1500]
+    for i, (c, a, b, v) in enumerate(rows):
+        assert starts[i] == a and ends[i] == b and vals[i] == v
+    # partial trailing line is left unconsumed
+    cut = text[:-5]
+    *_, consumed2 = parse_bedgraph_native(cut)
+    assert consumed2 == len(text) - len(lines[-1]) - 1
+    # block-stream vs naive per-line fill through the occ-track reader
+    from nucleoatac_tpu.core.chunk import Chunk, ChunkList
+    from nucleoatac_tpu.models.standalone import _BedgraphBlockStream
+
+    gz = str(tmp_path / "x.occ.bedgraph.gz")
+    with gzip.open(gz, "wb") as fh:
+        fh.write(text)
+    rank = {"chr1": 0, "chr2": 1, "chr10": 2}
+    st = _BedgraphBlockStream(gz, rank)
+    st.BLOCK = 4096  # force multi-block paths
+    for chrom in ("chr1", "chr2", "chr10"):
+        got = np.zeros(20000)
+        want = np.zeros(20000)
+        st.fill(rank[chrom], 0, 20000, got)
+        for c, a, b, v in rows:
+            if c == chrom:
+                want[a:b] = v
+        np.testing.assert_array_equal(got, want)
