@@ -139,7 +139,9 @@ def format_bedgraph_native(
     )
     if w < 0:
         raise ValueError("nucio_format_bedgraph: buffer overflow")
-    return buf.raw[:w], offsets
+    # string_at copies only the w written bytes (buf.raw would copy and
+    # then slice the whole cap)
+    return ctypes.string_at(buf, w), offsets
 
 
 def encode_delta12_native(
