@@ -239,6 +239,38 @@ def pack_nibble_codes(codes: np.ndarray) -> np.ndarray:
     return (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)
 
 
+def pack_2bit_codes(codes: np.ndarray, esc_cap: int = 512):
+    """[B, wp] uint8 base codes (0..4) -> (packed [B, ceil(wp/4)] bytes
+    with 4 codes/byte little-endian, escapes [esc_cap, 2] int32 (row,
+    col) marking code-4 (N / out-of-genome) positions, ok flag).
+
+    Wire v9 sequence plane (round 5, VERDICT r4 item 6): the nibble rows
+    were ~100 KB/batch at B=128 — more than the fragment pool itself —
+    and DNA needs 2 bits; N positions are shipped as a fixed-capacity
+    escape list the device scatters back (ops/pwmseq.py ::
+    unpack_2bit_codes). ok=False when a batch has more than esc_cap N
+    positions (N-blocks, chrom edges) — the dispatcher falls back to the
+    nibble program for that batch. Padded escape entries point at the
+    dead column wp."""
+    B, wp = codes.shape
+    rows, cols = np.nonzero(codes >= 4)
+    esc = np.full((esc_cap, 2), (0, wp), np.int32)
+    ok = len(rows) <= esc_cap
+    if ok and len(rows):
+        esc[: len(rows), 0] = rows
+        esc[: len(rows), 1] = cols
+    pad = (-wp) % 4
+    if pad:
+        codes = np.concatenate(
+            [codes, np.zeros((B, pad), np.uint8)], axis=1
+        )
+    c = (codes & 3).reshape(B, -1, 4).astype(np.uint8)
+    packed = c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) | (
+        c[:, :, 3] << 6
+    )
+    return packed, esc, ok
+
+
 @dataclass
 class Delta12Batch:
     """Wire-v6 upload: 12 bits per fragment record (4-bit midpoint delta

@@ -155,6 +155,7 @@ class DeviceEngine:
         if pwm is not None:
             self._logbias_seq = jax.jit(self._logbias_seq_impl, **jit_kwargs)
             self._logbias_nib = jax.jit(self._logbias_nib_impl, **jit_kwargs)
+            self._logbias_2bit = jax.jit(self._logbias_2bit_impl, **jit_kwargs)
         self._occ_from_mat = jax.jit(self._occ_from_mat_impl, **jit_kwargs)
         self._occ_packed = jax.jit(self._occ_packed_impl, **jit_kwargs)
         self._occ_packed3 = jax.jit(self._occ_packed3_impl, **jit_kwargs)
@@ -232,6 +233,17 @@ class DeviceEngine:
 
         return pwm_bias_batch_nibble(
             packed_codes, self.seq_codes_width(), self.pwm_log_ratio
+        )
+
+    def _logbias_2bit_impl(self, packed2, esc):
+        """2-bit-packed uint8 base codes (4 per byte) + N-escape list ->
+        [B, W] f32 log bias (wire v9, ops/pwmseq.py ::
+        pwm_bias_batch_2bit); quarter the sequence wire bytes of the
+        plain uint8 row, half the nibble row's."""
+        from nucleoatac_tpu.ops.pwmseq import pwm_bias_batch_2bit
+
+        return pwm_bias_batch_2bit(
+            packed2, self.seq_codes_width(), esc, self.pwm_log_ratio
         )
 
     def _logbias_seq_impl(self, codes):
@@ -665,6 +677,19 @@ class DeviceEngine:
         mat = self._raster_pool(pool, table, emax)
         occ2 = self._occ_packed2(mat)
         norm16 = self._u16(self._nucm(mat, self._logbias_nib(packed_codes)))
+        return self._pack_run(occ2, norm16)
+
+    def run_step_pool2(self, pool, table, packed2, esc, emax: int):
+        """Wire v7 fragments + wire v9 2-bit sequence plane (the
+        production fused dispatch when a batch's N count fits the escape
+        list; models/fused.py falls back to run_step_pool otherwise).
+        Identical downstream executables — outputs bitwise-equal to the
+        nibble form (pinned in test_transfer)."""
+        mat = self._raster_pool(pool, table, emax)
+        occ2 = self._occ_packed2(mat)
+        norm16 = self._u16(
+            self._nucm(mat, self._logbias_2bit(packed2, esc))
+        )
         return self._pack_run(occ2, norm16)
 
     def occ_step_pool_p2(self, pool, table, emax: int):

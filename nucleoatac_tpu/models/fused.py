@@ -99,20 +99,29 @@ def run_fused(
     from nucleoatac_tpu.models.data import pack_nibble_codes
 
     if cfg.window.transfer == "pool":
-        from nucleoatac_tpu.models.data import make_pool_batches
+        from nucleoatac_tpu.models.data import make_pool_batches, pack_2bit_codes
 
         # one device-resident pool per group: jnp.asarray uploads it once
         # and every batch of the group reuses the same device buffer
         pool_dev = {"id": None, "arr": None}
 
         def dispatch(batch):
-            nib = pack_nibble_codes(seq_provider.rows(batch.meta))
+            rows = seq_provider.rows(batch.meta)
             if batch.pool_id != pool_dev["id"]:
                 pool_dev["id"] = batch.pool_id
                 pool_dev["arr"] = jnp.asarray(batch.pool)
+            # wire v9: 2-bit sequence plane (half the nibble bytes);
+            # batches whose N count overflows the escape list (chrom
+            # edges, N-blocks) fall back to the nibble program
+            packed2, esc, ok = pack_2bit_codes(rows)
+            if ok:
+                return eng.run_step_pool2(
+                    pool_dev["arr"], jnp.asarray(batch.table),
+                    jnp.asarray(packed2), jnp.asarray(esc), batch.emax,
+                )
             return eng.run_step_pool(
-                pool_dev["arr"], jnp.asarray(batch.table), jnp.asarray(nib),
-                batch.emax,
+                pool_dev["arr"], jnp.asarray(batch.table),
+                jnp.asarray(pack_nibble_codes(rows)), batch.emax,
             )
 
         batches = make_pool_batches(frags, tiles, eng.width, cfg.window.batch)

@@ -170,6 +170,9 @@ class SeqCodesProvider:
             seg = cb[max(0, a) : a + wp]
             dst = max(0, -a)
             codes[r, dst : dst + len(seg)] = seg
+        # padding rows (batch not full) never reach output; code 0 keeps
+        # them off the 2-bit wire's N-escape list (pack_2bit_codes)
+        codes[len(metas) :] = 0
         return codes
 
     def pop(self, cid: int) -> None:

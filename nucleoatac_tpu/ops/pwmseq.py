@@ -39,6 +39,29 @@ def pwm_bias_batch_nibble(
     return pwm_bias_batch(unpack_nibble_codes(packed, wp), log_ratio)
 
 
+def unpack_2bit_codes(packed: jax.Array, wp: int, esc: jax.Array) -> jax.Array:
+    """[B, ceil(wp/4)] uint8 2-bit-packed codes + [E, 2] (row, col)
+    N-position escapes -> [B, wp] codes (wire v9 sequence plane,
+    models/data.py :: pack_2bit_codes). Padded escape entries target the
+    dead column wp of a width-(wp+1) scratch and are sliced away, so the
+    scatter is a fixed-shape no-op for them."""
+    parts = [(packed >> (2 * k)) & 3 for k in range(4)]
+    codes = jnp.stack(parts, axis=-1).reshape(packed.shape[0], -1)[:, :wp]
+    ext = jnp.concatenate(
+        [codes, jnp.zeros((codes.shape[0], 1), codes.dtype)], axis=1
+    )
+    ext = ext.at[esc[:, 0], esc[:, 1]].set(4)
+    return ext[:, :wp]
+
+
+def pwm_bias_batch_2bit(
+    packed: jax.Array, wp: int, esc: jax.Array, log_ratio: jax.Array
+) -> jax.Array:
+    """2-bit-packed codes -> [B, wp - L + 1] log bias (see pwm_bias_batch);
+    quarter the sequence wire bytes of the plain uint8 row."""
+    return pwm_bias_batch(unpack_2bit_codes(packed, wp, esc), log_ratio)
+
+
 def pwm_bias_batch(codes: jax.Array, log_ratio: jax.Array) -> jax.Array:
     """codes: [B, W + L - 1] uint8; log_ratio: [4, L] f32 -> [B, W] f32.
 

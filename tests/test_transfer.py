@@ -534,3 +534,68 @@ def test_pool_wire_bitwise_equals_delta12():
     # tile order is identical in both batchings
     assert a.shape == c.shape
     np.testing.assert_array_equal(a, c)
+
+
+def test_2bit_seq_wire_bitwise_equals_nibble():
+    """Wire v9 (2-bit sequence plane + N-escape scatter) must produce a
+    BITWISE-identical run_step_pool output to the nibble plane, with and
+    without N codes; an over-capacity batch reports ok=False."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.synth import make_example
+    import tempfile, pathlib
+
+    from nucleoatac_tpu.config import RunConfig, WindowParams
+    from nucleoatac_tpu.core.chunk import ChunkList
+    from nucleoatac_tpu.core.pwm import PWM
+    from nucleoatac_tpu.io.bam import scan_bam
+    from nucleoatac_tpu.models.data import (
+        make_pool_batches,
+        pack_2bit_codes,
+        pack_nibble_codes,
+        tile_chunks,
+    )
+    from nucleoatac_tpu.models.engine import DeviceEngine
+    from nucleoatac_tpu.models.occ import fit_mixture
+
+    d = pathlib.Path(tempfile.mkdtemp())
+    ex = make_example(d)
+    cfg = RunConfig(window=WindowParams(core=256, batch=4))
+    frags = scan_bam(ex["bam"])
+    chunks = ChunkList.read(ex["bed"], frags.chrom_dict).merge()
+    fs, mix = fit_mixture(frags, chunks, cfg)
+    eng = DeviceEngine(cfg, mix, fs, pwm=PWM.default())
+    tiles = tile_chunks(chunks, cfg.window, cfg.occ, cfg.vmat)
+    rng = np.random.default_rng(3)
+    wp = eng.seq_codes_width()
+    rows = rng.integers(0, 4, size=(4, wp)).astype(np.uint8)
+    # sprinkle Ns, including at codes the PWM window overlaps
+    rows[0, 5:25] = 4
+    rows[2, wp - 9 :] = 4
+    rows[3, 100] = 4
+    packed2, esc, ok = pack_2bit_codes(rows)
+    assert ok
+    nib = pack_nibble_codes(rows)
+    for b in make_pool_batches(frags, tiles, eng.width, 4):
+        a = np.asarray(
+            eng.run_step_pool(
+                jnp.asarray(b.pool), jnp.asarray(b.table), jnp.asarray(nib),
+                b.emax,
+            )
+        )
+        c = np.asarray(
+            eng.run_step_pool2(
+                jnp.asarray(b.pool), jnp.asarray(b.table),
+                jnp.asarray(packed2), jnp.asarray(esc), b.emax,
+            )
+        )
+        np.testing.assert_array_equal(a, c)
+        break
+    # over-capacity N batch flags not-ok
+    rows_n = rows.copy()
+    rows_n[1, :600] = 4
+    _, _, ok2 = pack_2bit_codes(rows_n)
+    assert not ok2
+    # wire byte accounting: 2-bit plane is half the nibble plane
+    assert packed2.nbytes * 2 <= nib.nbytes + 4
