@@ -48,6 +48,12 @@ def _tune(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max_nfr_len", type=int, default=NFRParams.max_nfr_len)
     p.add_argument("--not_atac", action="store_true", help="skip +4/-5 offsets")
     p.add_argument(
+        "--platform", default=None, metavar="NAME",
+        help="force the jax platform (e.g. cpu) — applied before any "
+             "device use; the JAX_PLATFORMS env var alone is too late "
+             "when a site hook registers a backend first (CLAUDE.md)",
+    )
+    p.add_argument(
         "--batch", type=int, default=WindowParams.batch,
         help="windows per device batch (bigger amortizes transfer RTT)",
     )
@@ -201,6 +207,10 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
     args = nucleoatac_parser().parse_args(argv)
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.command == "run":
         if args.finalize:
             from nucleoatac_tpu.models.distributed_pipeline import finalize_shards

@@ -113,6 +113,10 @@ def main():
     ap.add_argument("--workdir", default="/tmp")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default=None, help="output prefix (tmp default)")
+    ap.add_argument("--strict", action="store_true",
+                    help="NucParams(strict=True): f64-refinish the "
+                         "smoothed-score column of every printed row")
+    ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
 
     import jax
@@ -126,7 +130,7 @@ def main():
     t0 = time.perf_counter()
     bam, bed, fa = synth_dataset(
         args.workdir, args.chroms, args.peaks, args.peak_bp,
-        args.frags_per_peak,
+        args.frags_per_peak, seed=args.seed,
     )
     t_synth = time.perf_counter() - t0
 
@@ -147,8 +151,16 @@ def main():
     n_ingested = frags_probe.n_fragments()
     del frags_probe
 
+    run_cfg = None
+    if args.strict:
+        import dataclasses
+
+        from nucleoatac_tpu.config import NucParams, RunConfig
+
+        run_cfg = dataclasses.replace(RunConfig(), nuc=NucParams(strict=True))
     t0 = time.perf_counter()
-    res = run_pipeline(bam, bed, prefix, fasta_path=fa, write_plots=False)
+    res = run_pipeline(bam, bed, prefix, fasta_path=fa, write_plots=False,
+                       cfg=run_cfg)
     t_run = time.perf_counter() - t0
 
     import resource
@@ -174,6 +186,7 @@ def main():
     )
     record_atscale({
         "kind": "e2e",
+        "strict": bool(args.strict),
         "peaks": args.peaks,
         "fragments": n_frags,
         "backend": jax.default_backend(),
