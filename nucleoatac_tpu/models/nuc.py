@@ -477,6 +477,12 @@ class NucStage:
                 "smooth": prepare_bedgraph(
                     chunk.chrom, chunk.start, tracks["norm_smooth"]
                 ),
+                # pre-formatted call rows: the per-row add() + f-string
+                # work runs here on the finish workers instead of the
+                # writer-owning main thread (round-5 config-4 timers:
+                # emit was 38 s of main-thread wall at 10k peaks)
+                "pos": ([c.pos for c in calls], [c.bed_row() for c in calls]),
+                "red": ([c.pos for c in red], [c.bed_row() for c in red]),
             }
         return calls, red, sel, stats, payloads
 
@@ -496,10 +502,11 @@ class NucStage:
         if writers:
             writers["norm"].add_prepared(chunk.chrom, payloads["norm"])
             writers["smooth"].add_prepared(chunk.chrom, payloads["smooth"])
-            for c in calls:
-                writers["pos"].add(c.chrom, c.pos, c.pos + 1, c.bed_row())
-            for c in red:
-                writers["red"].add(c.chrom, c.pos, c.pos + 1, c.bed_row())
+            for name in ("pos", "red"):
+                starts, lines = payloads[name]
+                writers[name].add_many(
+                    chunk.chrom, starts, [p + 1 for p in starts], lines
+                )
 
     def _select_legacy(self, cid, chunk, tracks, occ_lookup):
         """Pre-exact flow: per-bp f32 stat tracks from the device

@@ -428,6 +428,17 @@ class OccStage:
                 name: prepare_bedgraph(chunk.chrom, chunk.start, arr)
                 for name, arr in (("occ", occ), ("lower", lo), ("upper", up))
             }
+            flank = cfg.occ.flank
+            rows = []
+            for p in peaks:
+                s = max(0, p.pos - flank)
+                e = p.pos + flank + 1
+                rows.append((
+                    s, e,
+                    f"{p.chrom}\t{s}\t{e}\t{p.occ:.5g}\t{p.lower:.5g}\t"
+                    f"{p.upper:.5g}",
+                ))
+            payloads["peaks"] = rows
         return peaks, payloads
 
     def emit_chunk(self, chunk: Chunk, peaks, payloads, writers) -> None:
@@ -435,11 +446,8 @@ class OccStage:
             return
         for name in ("occ", "lower", "upper"):
             writers[name].add_prepared(chunk.chrom, payloads[name])
-        flank = self.cfg.occ.flank
-        for p in peaks:
-            s = max(0, p.pos - flank)
-            e = p.pos + flank + 1
-            writers["peaks"].add(
-                p.chrom, s, e,
-                f"{p.chrom}\t{s}\t{e}\t{p.occ:.5g}\t{p.lower:.5g}\t{p.upper:.5g}",
-            )
+        rows = payloads["peaks"]
+        writers["peaks"].add_many(
+            chunk.chrom, [r[0] for r in rows], [r[1] for r in rows],
+            [r[2] for r in rows],
+        )
