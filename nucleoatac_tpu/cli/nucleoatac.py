@@ -48,6 +48,12 @@ def _tune(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max_nfr_len", type=int, default=NFRParams.max_nfr_len)
     p.add_argument("--not_atac", action="store_true", help="skip +4/-5 offsets")
     p.add_argument(
+        "--strict", action="store_true",
+        help="f64-refinish the smoothed-score column of every printed "
+             "nucpos row (removes the last cross-backend %%.5g "
+             "divergence; measured 2.4x config-4 wall, PARITY.md)",
+    )
+    p.add_argument(
         "--platform", default=None, metavar="NAME",
         help="force the jax platform (e.g. cpu) — applied before any "
              "device use; the JAX_PLATFORMS env var alone is too late "
@@ -120,6 +126,7 @@ def build_config(args: argparse.Namespace) -> RunConfig:
             min_z=args.min_z,
             min_lr=args.min_lr,
             smooth_sd=args.smooth_sd,
+            strict=getattr(args, "strict", False),
         ),
         nfr=dataclasses.replace(
             cfg.nfr,

@@ -479,8 +479,10 @@ long nucio_parse_bedgraph(const char* buf, long len, long max_lines,
     ends[n] = strtoll(q + 1, &q, 10);
     if (q == nullptr || *q != '\t') return -1;
     vals[n] = strtod(q + 1, &q);
-    if (q != nullptr && *q == '\r') ++q;  // tolerate CRLF
-    if (q == nullptr || *q != '\n') return -1;
+    // field 3 must end inside the line; anything after it (extra BED
+    // columns — nucpos/occpeaks rows reuse this parser for re-indexing,
+    // parallel/distributed.py :: rebuild_tabix) is accepted as-is
+    if (q == nullptr || q > nl) return -1;
     ++n;
     pos = (nl - buf) + 1;
   }

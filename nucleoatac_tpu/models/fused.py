@@ -168,7 +168,11 @@ def run_fused(
 
     n_threads = cfg.window.finish_threads
     if n_threads < 0:
-        n_threads = min(4, _os.cpu_count() or 1)
+        # leave one core for the main thread (decode/assemble/ordered
+        # writes): at config-4 on the 2-core build host, 1 worker + main
+        # beat 2 workers + main by ~6% (177 vs 188 s — oversubscription;
+        # round-5 1->2 scaling measurement)
+        n_threads = max(1, min(4, (_os.cpu_count() or 2) - 1))
 
     # optional wall-clock term breakdown (NUCLEOATAC_FUSED_TIMERS=1):
     # main-thread terms are exclusive wall; worker terms sum CPU-seconds

@@ -75,17 +75,79 @@ def merge_host_shards(out_prefix: str, suffix: str, num_processes: int) -> None:
 
 def rebuild_tabix(path: str) -> None:
     """Re-index a merged BGZF text file (concatenation invalidates the
-    per-shard virtual offsets, so the index is rebuilt from scratch).
-    Streams line-by-line — constant memory at genome scale."""
-    from nucleoatac_tpu.io.bgzf import iter_bgzf_lines
+    per-shard virtual offsets, so the file is re-written through a
+    TabixWriter — which also makes the merged .gz byte-identical to a
+    single-host run's, since BGZF block boundaries depend only on
+    content). Round 5: block-parse with the C++ bedgraph/BED parser and
+    write via add_many_blob instead of a per-line Python loop — the old
+    path was ~190 s of a 270 s config-5 finalize (the two signal
+    bedgraphs are ~10M lines each at 10k peaks). Constant memory."""
+    import gzip
+
+    import numpy as np
+
     from nucleoatac_tpu.io.tabix import TabixWriter
 
     tmp = path + ".reindex"
-    with TabixWriter(tmp) as w:
-        for line in iter_bgzf_lines(path):
-            if not line:
+    with TabixWriter(tmp) as w, gzip.open(path, "rb") as fh:
+        carry = b""
+        while True:
+            data = fh.read(4 << 20)
+            if not data and not carry.strip():
+                break
+            if not data and not carry.endswith(b"\n"):
+                carry += b"\n"
+            buf = carry + data
+            chroms, seg, starts, ends, _, consumed = _parse_lines(buf)
+            carry = buf[consumed:]
+            if len(starts) == 0:
+                if not data:
+                    break
                 continue
-            f = line.split("\t")
-            w.add(f[0], int(f[1]), int(f[2]), line)
+            block = buf[:consumed]
+            # line-start offsets for blob slicing
+            nl = np.flatnonzero(
+                np.frombuffer(block, np.uint8) == 0x0A
+            )
+            offs = np.concatenate(([0], nl + 1))
+            for k, chrom in enumerate(chroms):
+                a, b = int(seg[k]), int(seg[k + 1])
+                w.add_many_blob(
+                    chrom, starts[a:b], ends[a:b], block, offs[a : b + 1]
+                )
+            if not data:
+                break
     os.replace(tmp, path)
     os.replace(tmp + ".tbi", path + ".tbi")
+
+
+def _parse_lines(buf: bytes):
+    """Block line parse: C++ fast path, python fallback (same interface
+    as models/standalone._BedgraphBlockStream._parse)."""
+    try:
+        from nucleoatac_tpu.io.native.binding import (
+            HAS_PARSE_BEDGRAPH,
+            parse_bedgraph_native,
+        )
+    except (OSError, ImportError):
+        HAS_PARSE_BEDGRAPH = False
+    if HAS_PARSE_BEDGRAPH:
+        return parse_bedgraph_native(buf)
+    import numpy as np
+
+    end = buf.rfind(b"\n") + 1
+    chroms: list[str] = []
+    seg: list[int] = []
+    starts, ends = [], []
+    for ln in buf[:end].splitlines():
+        f = ln.split(b"\t")
+        c = f[0].decode()
+        if not chroms or c != chroms[-1]:
+            chroms.append(c)
+            seg.append(len(starts))
+        starts.append(int(f[1]))
+        ends.append(int(f[2]))
+    return (
+        chroms, np.array(seg + [len(starts)], np.int64),
+        np.array(starts, np.int64), np.array(ends, np.int64), None, end,
+    )

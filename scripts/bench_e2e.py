@@ -117,6 +117,9 @@ def main():
                     help="NucParams(strict=True): f64-refinish the "
                          "smoothed-score column of every printed row")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--finish-threads", type=int, default=None,
+                    help="override WindowParams.finish_threads (scaling "
+                         "measurements)")
     args = ap.parse_args()
 
     import jax
@@ -152,12 +155,19 @@ def main():
     del frags_probe
 
     run_cfg = None
-    if args.strict:
+    if args.strict or args.finish_threads is not None:
         import dataclasses
 
-        from nucleoatac_tpu.config import NucParams, RunConfig
+        from nucleoatac_tpu.config import NucParams, RunConfig, WindowParams
 
-        run_cfg = dataclasses.replace(RunConfig(), nuc=NucParams(strict=True))
+        run_cfg = RunConfig()
+        if args.strict:
+            run_cfg = dataclasses.replace(run_cfg, nuc=NucParams(strict=True))
+        if args.finish_threads is not None:
+            run_cfg = dataclasses.replace(
+                run_cfg,
+                window=WindowParams(finish_threads=args.finish_threads),
+            )
     t0 = time.perf_counter()
     res = run_pipeline(bam, bed, prefix, fasta_path=fa, write_plots=False,
                        cfg=run_cfg)
@@ -187,6 +197,7 @@ def main():
     record_atscale({
         "kind": "e2e",
         "strict": bool(args.strict),
+        "finish_threads": args.finish_threads,
         "peaks": args.peaks,
         "fragments": n_frags,
         "backend": jax.default_backend(),

@@ -180,3 +180,15 @@ def test_bias_track_input_matches_fasta_pwm(tmp_path):
         gzip.open(direct + ".occ.bedgraph.gz", "rb").read()
         == gzip.open(via + ".occ.bedgraph.gz", "rb").read()
     )
+
+
+def test_build_config_strict_and_platform_flags():
+    """Round-5 CLI knobs: --strict reaches NucParams.strict; defaults
+    stay off."""
+    from nucleoatac_tpu.cli.nucleoatac import build_config, nucleoatac_parser
+
+    base = ["run", "--bam", "x.bam", "--bed", "x.bed", "--out", "o"]
+    args = nucleoatac_parser().parse_args(base + ["--strict"])
+    assert build_config(args).nuc.strict is True
+    args = nucleoatac_parser().parse_args(base)
+    assert build_config(args).nuc.strict is False
