@@ -323,8 +323,9 @@ def main() -> None:
             with open(apath) as fh:
                 runs = json.load(fh).get("runs", [])
             c4 = [r for r in runs if r.get("kind") == "e2e"
+                  and r.get("peaks", 0) >= 10000 and not r.get("strict")]
+            c5 = [r for r in runs if r.get("kind") == "config5"
                   and r.get("peaks", 0) >= 10000]
-            c5 = [r for r in runs if r.get("kind") == "config5"]
             if c4:
                 r = c4[-1]
                 out["config4_windows_per_s"] = r["windows_per_s"]
