@@ -117,6 +117,8 @@ def main():
                     help="NucParams(strict=True): f64-refinish the "
                          "smoothed-score column of every printed row")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override WindowParams.batch")
     ap.add_argument("--finish-threads", type=int, default=None,
                     help="override WindowParams.finish_threads (scaling "
                          "measurements)")
@@ -155,7 +157,7 @@ def main():
     del frags_probe
 
     run_cfg = None
-    if args.strict or args.finish_threads is not None:
+    if args.strict or args.finish_threads is not None or args.batch is not None:
         import dataclasses
 
         from nucleoatac_tpu.config import NucParams, RunConfig, WindowParams
@@ -163,10 +165,15 @@ def main():
         run_cfg = RunConfig()
         if args.strict:
             run_cfg = dataclasses.replace(run_cfg, nuc=NucParams(strict=True))
+        wkw = {}
         if args.finish_threads is not None:
+            wkw["finish_threads"] = args.finish_threads
+        if args.batch is not None:
+            wkw["batch"] = args.batch
+        if wkw:
             run_cfg = dataclasses.replace(
                 run_cfg,
-                window=WindowParams(finish_threads=args.finish_threads),
+                window=dataclasses.replace(run_cfg.window, **wkw),
             )
     t0 = time.perf_counter()
     res = run_pipeline(bam, bed, prefix, fasta_path=fa, write_plots=False,
@@ -198,6 +205,7 @@ def main():
         "kind": "e2e",
         "strict": bool(args.strict),
         "finish_threads": args.finish_threads,
+        "batch": args.batch,
         "peaks": args.peaks,
         "fragments": n_frags,
         "backend": jax.default_backend(),
