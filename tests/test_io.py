@@ -361,3 +361,54 @@ def test_parse_bedgraph_native_roundtrip(tmp_path):
             if c == chrom:
                 want[a:b] = v
         np.testing.assert_array_equal(got, want)
+
+
+def test_bedgraph_block_stream_python_fallback(tmp_path, monkeypatch):
+    """The pure-python block parser behind _BedgraphBlockStream (used
+    when libnucio lacks nucio_parse_bedgraph) produces the same fills as
+    the native path."""
+    import gzip
+
+    import numpy as np
+
+    from nucleoatac_tpu.io.native import binding
+    from nucleoatac_tpu.models.standalone import _BedgraphBlockStream
+
+    rng = np.random.default_rng(9)
+    lines = []
+    rows = []
+    for chrom in ("chr2", "chr11"):
+        pos = 0
+        for _ in range(300):
+            ln = int(rng.integers(1, 30))
+            v = float(np.round(rng.normal(0, 2), 5))
+            lines.append(f"{chrom}\t{pos}\t{pos + ln}\t{v:g}")
+            rows.append((chrom, pos, pos + ln, float(f"{v:g}")))
+            pos += ln
+    gz = str(tmp_path / "y.occ.bedgraph.gz")
+    with gzip.open(gz, "wb") as fh:
+        fh.write(("\n".join(lines) + "\n").encode())
+    rank = {"chr2": 0, "chr11": 1}
+
+    def run(native: bool):
+        if not native:
+            monkeypatch.setattr(binding, "HAS_PARSE_BEDGRAPH", False)
+        st = _BedgraphBlockStream(gz, rank)
+        st.BLOCK = 2048
+        out = []
+        for chrom in ("chr2", "chr11"):
+            arr = np.zeros(10000)
+            st.fill(rank[chrom], 0, 10000, arr)
+            out.append(arr)
+        monkeypatch.undo()
+        return out
+
+    a = run(True)
+    b = run(False)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    want = np.zeros(10000)
+    for c, s, e, v in rows:
+        if c == "chr2":
+            want[s:e] = v
+    np.testing.assert_array_equal(a[0], want)
