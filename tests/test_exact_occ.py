@@ -147,3 +147,29 @@ def test_occ_certification_engages(tmp_path, monkeypatch):
     )
     assert seen["bp"] > 0
     assert seen["flagged"] / seen["bp"] < 0.30  # certification survives low coverage
+
+
+def test_spot_check_detects_miscertification(tmp_path):
+    """The runtime exact_tol guard (ADVICE r4): corrupting a certified
+    occ value must raise, not silently ship a wrong track."""
+    ex = make_example(tmp_path)
+    cfg = RunConfig(window=WindowParams(core=256, batch=4))
+    frags = scan_bam(ex["bam"])
+    chunks = ChunkList.read(ex["bed"], frags.chrom_dict).merge()
+    fs, mix = fit_mixture(frags, chunks, cfg)
+    engine = DeviceEngine(cfg, mix, fs)
+    stage = OccStage(cfg, engine)
+    stage.prepare_exact(mix)
+    res = OccStage(cfg, engine).run(frags, chunks, mix, fs, keep_tracks=True)
+    cid, tr = next(iter(res.tracks.items()))
+    chunk = chunks[cid]
+    # rebuild a plausible cert mask: all positions certified
+    bad = {
+        "occ": tr["occ"].copy(), "lower": tr["lower"].copy(),
+        "upper": tr["upper"].copy(),
+        "cert": np.ones(len(chunk), np.float64),
+    }
+    bad["occ"][0] += 0.01  # one grid step off, at a sampled position
+    stage._spot_chunks = 1
+    with pytest.raises(RuntimeError, match="spot-check FAILED"):
+        stage._exact_refinish(chunk, bad, frags)
