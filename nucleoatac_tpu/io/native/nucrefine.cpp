@@ -108,6 +108,44 @@ Sums sums_at(const double* F, const double* B0, const Tables& t, long c) {
   return o;
 }
 
+// Norm-only column value: the five sums norm needs (signal, n, bsum,
+// vb, v2b) — the SmoothResolver's point queries read nothing else, and
+// dropping flogv/fo/fo2 skips the logV stream and ~40% of the flops
+// (round 5; the resolver is the largest nuc-finishing term). Partial-sum
+// vectorization may differ from sums_at's 8-way reduction, so values
+// can sit ~1e-16 apart from the full kernel — inside the module's
+// operation-order band (same acceptance as the FFT full-track path),
+// and all resolver columns go through ONE kernel so its comparisons
+// stay self-consistent.
+double norm_col(const double* F, const double* B0, const Tables& t, long c,
+                double var_floor) {
+  const int K = t.K, W = t.W, half = K / 2;
+  const long j0 = c - half;
+  double signal = 0, n = 0, bsum = 0, vb = 0, v2b = 0;
+  for (int si = 0; si < t.Sv; ++si) {
+    const double* f = &F[static_cast<size_t>(si) * W + j0];
+    const double* b = &B0[static_cast<size_t>(si) * W + j0];
+    const double* v = &t.vmat[static_cast<size_t>(si) * K];
+    double sg = 0, nn = 0, bs = 0, vbb = 0, v2 = 0;
+#pragma omp simd reduction(+ : sg, nn, bs, vbb, v2)
+    for (int k = 0; k < K; ++k) {
+      double fk = f[k], bk = b[k], vk = v[k];
+      sg += vk * fk;
+      nn += fk;
+      bs += bk;
+      vbb += vk * bk;
+      v2 += vk * vk * bk;
+    }
+    signal += sg; n += nn; bsum += bs; vb += vbb; v2b += v2;
+  }
+  double safe_b = bsum > 0 ? bsum : 1.0;
+  double mu = vb / safe_b;
+  double mu2 = v2b / safe_b;
+  double var = n * (mu2 - mu * mu);
+  bool ok = var > var_floor && n > 0;
+  return ok ? (signal - n * mu) / std::sqrt(var) : 0.0;
+}
+
 // mirror.nuc_scores finishing formulas (DESIGN.md §7), float64.
 void finish(const Sums& s, double var_floor, double* out6) {
   double safe_b = s.bsum > 0 ? s.bsum : 1.0;
@@ -184,6 +222,23 @@ int nucrefine_stats_pre(const double* Fp, const double* B0p,
 }
 
 // nucrefine_norm_track on prebuilt F/B0.
+// Norm values at specific columns (the SmoothResolver point path).
+int nucrefine_norm_cols_pre(const double* Fp, const double* B0p,
+                            const double* q, const double* vmat,
+                            const double* logv, int W, int K, int Sv,
+                            int size_lo, int core_lo, int core_hi,
+                            double var_floor, const int64_t* cols,
+                            long n_cols, double* out_norm) {
+  Tables t{W, K, Sv, size_lo, core_lo, core_hi, 0.0, vmat, logv, q};
+  const int half = K / 2;
+  for (long i = 0; i < n_cols; ++i) {
+    long c = cols[i];
+    if (c < half || c >= W - half) return -1;
+    out_norm[i] = norm_col(Fp, B0p, t, c, var_floor);
+  }
+  return 0;
+}
+
 int nucrefine_norm_track_pre(const double* Fp, const double* B0p,
                              const double* q, const double* vmat,
                              const double* logv, int W, int K, int Sv,

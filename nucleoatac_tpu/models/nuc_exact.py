@@ -83,6 +83,17 @@ def _load_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_double, dp,
     ]
+    try:  # round-5 lean resolver kernel; stale .so lacks it
+        lib.nucrefine_norm_cols_pre.restype = ctypes.c_int
+        lib.nucrefine_norm_cols_pre.argtypes = [
+            dp, dp, dp, dp, dp,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            lp, ctypes.c_long, dp,
+        ]
+        lib._has_norm_cols = True
+    except AttributeError:
+        lib._has_norm_cols = False
     return lib
 
 
@@ -414,6 +425,31 @@ class TileSession:
         }
         return self._full
 
+    def norm_cols(self, cols: np.ndarray) -> np.ndarray:
+        """Norm-only f64 point values (the SmoothResolver's query shape):
+        the lean C++ kernel skips the logV stream and the flogv/fo/fo2
+        sums (~40% of the per-column flops; round 5). Values sit within
+        the module's ~1e-13 operation-order band of stats_at's (different
+        partial-sum vectorization) and all resolver columns flow through
+        this one kernel, so its comparisons stay self-consistent."""
+        if self._full is not None:
+            return self._full["norm"][np.asarray(cols, np.int64)]
+        r = self.refin
+        if r.lib is not None and getattr(r.lib, "_has_norm_cols", False):
+            cols = np.ascontiguousarray(cols, dtype=np.int64)
+            out = np.empty(len(cols), dtype=np.float64)
+            rc = r.lib.nucrefine_norm_cols_pre(
+                _dp(self.F), _dp(self.B0), _dp(r.q), _dp(r.V), _dp(r.logV),
+                r.width, r.K, r.Sv, r.cfg.vmat.lower, r.core_lo, r.core_hi,
+                r.cfg.nuc.var_floor,
+                cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(cols), _dp(out),
+            )
+            if rc != 0:
+                raise ValueError(f"nucrefine_norm_cols_pre failed rc={rc}")
+            return out
+        return self.stats_at(cols)["norm"]
+
     def norm_track(self) -> np.ndarray:
         r = self.refin
         if r.lib is not None:
@@ -508,10 +544,10 @@ class SmoothResolver:
                     self._full[int(t_idx)] = full
                     self.n_fft_tiles += 1
                 elif missing:
-                    st = self.session_for(int(t_idx)).stats_at(
+                    vals = self.session_for(int(t_idx)).norm_cols(
                         np.asarray(missing, np.int64)
                     )
-                    for c, v in zip(missing, st["norm"]):
+                    for c, v in zip(missing, vals):
                         have[c] = float(v)
                     self.n_point_cols += len(missing)
             src = full if full is not None else self._cols[int(t_idx)]
