@@ -83,19 +83,26 @@ def main():
     st = pstats.Stats(pr)
     st.sort_stats("cumulative").print_stats(args.top)
 
-    # component aggregation: tottime by function-name substring
+    # component table: tottime aggregated by the terms named in the
+    # round-5 PARITY profile (cumulative table above is ground truth)
+    st2 = pstats.Stats(pr)
     groups = {
-        "TileSession build": ["nuc_exact.py:.*__init__"],
-        "stats_at (f64 point stats)": ["stats_at", "nucrefine_stats"],
-        "SmoothResolver": ["resolver", "ensure", "\\bat\\b"],
-        "occ _f64_picks": ["_f64_picks"],
-        "prepare_bedgraph (RLE+format)": ["prepare_bedgraph"],
-        "peaks+greedy": ["local_max", "greedy"],
-        "host_smooth": ["host_smooth"],
-        "assembler": ["ChunkAssembler", "\\badd\\b"],
+        "TileSession build (F/B0)": ("nuc_exact.py", "__init__"),
+        "f64 point stats (stats_at)": ("nuc_exact.py", "stats_at"),
+        "lean norm columns": ("nuc_exact.py", "norm_cols"),
+        "FFT full tracks": ("nuc_exact.py", "full_stat_tracks"),
+        "SmoothResolver.ensure": ("nuc_exact.py", "ensure"),
+        "occ _f64_picks": ("occ.py", "_f64_picks"),
+        "RLE+format (prepare_bedgraph)": ("tabix.py", "prepare_bedgraph"),
+        "nfr occ-track scan": ("standalone.py", "get"),
     }
-    print("\n(component tottime aggregation is approximate; read the "
-          "cumulative table above for ground truth)")
+    print("component tottime (s):")
+    for label, (fname, func) in groups.items():
+        tot = sum(
+            v[2] for k, v in st2.stats.items()
+            if k[0].endswith(fname) and k[2] == func
+        )
+        print(f"  {label:34s} {tot:7.2f}")
 
 
 if __name__ == "__main__":
