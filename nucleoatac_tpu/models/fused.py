@@ -177,7 +177,10 @@ def run_fused(
     # optional wall-clock term breakdown (NUCLEOATAC_FUSED_TIMERS=1):
     # main-thread terms are exclusive wall; worker terms sum CPU-seconds
     # across finish threads (profiling evidence for PARITY — round-5
-    # VERDICT item 1 demanded the config-4 terms be named, not guessed)
+    # VERDICT item 1 demanded the config-4 terms be named, not guessed).
+    # Worker increments are unsynchronized on purpose: a lost update
+    # skews a profiling counter by one task, and the default-off flag
+    # keeps the hot path free of locks.
     import time as _time
 
     timers = {
